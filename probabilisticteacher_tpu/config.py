@@ -1,0 +1,309 @@
+"""Config system: a minimal yacs-style CfgNode with the reference's YAML schema.
+
+Mirrors the config surface of the reference (detectron2 ``get_cfg()`` plus
+``pt/config.py:20-96`` ``add_config``) so its YAML files and ``KEY VALUE`` CLI override
+style keep working, without depending on yacs/detectron2. Only the keys the reference
+actually exercises are defined (SURVEY.md section 2.1 #2, #25).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+from typing import Any, Dict, List
+
+
+class CfgNode(dict):
+    """Nested attribute dict with merge_from_file/merge_from_list and freeze."""
+
+    IMMUTABLE = "__immutable__"
+
+    def __init__(self, init_dict: Dict[str, Any] | None = None):
+        super().__init__()
+        object.__setattr__(self, CfgNode.IMMUTABLE, False)
+        if init_dict:
+            for k, v in init_dict.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    # --- attribute access -------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if object.__getattribute__(self, CfgNode.IMMUTABLE):
+            raise AttributeError(f"CfgNode is frozen; cannot set {name}")
+        self[name] = CfgNode(value) if isinstance(value, dict) and not isinstance(value, CfgNode) else value
+
+    # --- mutability -------------------------------------------------------
+    def freeze(self) -> "CfgNode":
+        object.__setattr__(self, CfgNode.IMMUTABLE, True)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+        return self
+
+    def defrost(self) -> "CfgNode":
+        object.__setattr__(self, CfgNode.IMMUTABLE, False)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+        return self
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    # --- merging ----------------------------------------------------------
+    def _merge_dict(self, other: Dict[str, Any], path: str = "") -> None:
+        for k, v in other.items():
+            full = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                if k not in self or not isinstance(self[k], CfgNode):
+                    self[k] = CfgNode()
+                self[k]._merge_dict(v, full)
+            else:
+                self[k] = _coerce(v, self.get(k))
+
+    def merge_from_file(self, filename: str) -> None:
+        """Load a YAML file, honoring detectron2-style ``_BASE_`` inheritance."""
+        import yaml
+
+        with open(filename) as f:
+            loaded = yaml.safe_load(f) or {}
+        base = loaded.pop("_BASE_", None)
+        if base:
+            base_path = base if os.path.isabs(base) else os.path.join(os.path.dirname(filename), base)
+            self.merge_from_file(base_path)
+        loaded.pop("VERSION", None)
+        self._merge_dict(loaded)
+
+    def merge_from_list(self, opts: List[str]) -> None:
+        """Merge ``[KEY1, VALUE1, KEY2, VALUE2, ...]`` CLI-style overrides."""
+        assert len(opts) % 2 == 0, f"Override list must be key-value pairs, got {opts}"
+        for key, value in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    node[p] = CfgNode()
+                node = node[p]
+            try:
+                parsed = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                parsed = value
+            node[parts[-1]] = _coerce(parsed, node.get(parts[-1]))
+
+    def dump(self) -> str:
+        import yaml
+
+        def to_plain(n):
+            return {k: to_plain(v) if isinstance(v, CfgNode) else v for k, v in n.items()}
+
+        return yaml.safe_dump(to_plain(self), sort_keys=True)
+
+
+def _coerce(value: Any, old: Any) -> Any:
+    """Light type coercion so YAML/CLI strings match existing defaults."""
+    if isinstance(value, list):
+        return tuple(_coerce(v, None) for v in value)
+    if old is not None and isinstance(old, float) and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def get_cfg() -> CfgNode:
+    """Default config: detectron2 defaults the reference exercises + pt/config.py extension."""
+    c = CfgNode()
+
+    c.VERSION = 2
+    c.OUTPUT_DIR = "./output"
+    c.SEED = -1
+
+    # ----------------------------- MODEL ---------------------------------
+    c.MODEL = CfgNode()
+    c.MODEL.META_ARCHITECTURE = "GuassianGeneralizedRCNN"
+    c.MODEL.MASK_ON = False
+    c.MODEL.KEYPOINT_ON = False
+    c.MODEL.LOAD_PROPOSALS = False
+    c.MODEL.WEIGHTS = ""
+    c.MODEL.DEVICE = "tpu"
+    # Caffe-BGR preprocessing as in the reference (detectron2 defaults; BGR order).
+    c.MODEL.PIXEL_MEAN = (103.530, 116.280, 123.675)
+    c.MODEL.PIXEL_STD = (1.0, 1.0, 1.0)
+
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+    c.MODEL.BACKBONE.FREEZE_AT = 2
+
+    c.MODEL.VGG = CfgNode()
+    c.MODEL.VGG.DEPTH = 16
+    c.MODEL.VGG.OUT_FEATURES = ("vgg_block5",)
+    c.MODEL.VGG.NORM = "None"
+    c.MODEL.VGG.CONV5_OUT_CHANNELS = 512
+    c.MODEL.VGG.PRETRAIN = "./vgg16_caffe.npz"
+
+    c.MODEL.ANCHOR_GENERATOR = CfgNode()
+    c.MODEL.ANCHOR_GENERATOR.NAME = "DefaultAnchorGenerator"
+    c.MODEL.ANCHOR_GENERATOR.SIZES = ((128, 256, 512),)
+    c.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = ((0.5, 1.0, 2.0),)
+    c.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+    # Learnable-anchor init table (w, h), reference pt/config.py:84-92.
+    c.MODEL.ANCHOR_GENERATOR.ANCHOR = (
+        ((181.0193, 90.5097), (128.0000, 128.0000), (90.5097, 181.0193),
+         (362.0387, 181.0193), (256.0000, 256.0000), (181.0193, 362.0387),
+         (724.0773, 362.0387), (512.0000, 512.0000), (362.0387, 724.0773)),
+    )
+
+    c.MODEL.PROPOSAL_GENERATOR = CfgNode()
+    c.MODEL.PROPOSAL_GENERATOR.NAME = "GuassianRPN"
+    c.MODEL.PROPOSAL_GENERATOR.MIN_SIZE = 0
+
+    c.MODEL.RPN = CfgNode()
+    c.MODEL.RPN.HEAD_NAME = "GuassianRPNHead"
+    c.MODEL.RPN.IN_FEATURES = ("vgg_block5",)
+    c.MODEL.RPN.BOUNDARY_THRESH = -1
+    c.MODEL.RPN.IOU_THRESHOLDS = (0.3, 0.7)
+    c.MODEL.RPN.IOU_LABELS = (0, -1, 1)
+    c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    c.MODEL.RPN.POSITIVE_FRACTION = 0.25
+    c.MODEL.RPN.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    c.MODEL.RPN.BBOX_REG_LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    c.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    c.MODEL.RPN.LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 12000
+    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 6000
+    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 2000
+    c.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    c.MODEL.RPN.NMS_THRESH = 0.7
+    c.MODEL.RPN.CONV_DIMS = (-1,)
+
+    c.MODEL.ROI_HEADS = CfgNode()
+    c.MODEL.ROI_HEADS.NAME = "GuassianROIHead"
+    c.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    c.MODEL.ROI_HEADS.IN_FEATURES = ("vgg_block5",)
+    c.MODEL.ROI_HEADS.IOU_THRESHOLDS = (0.5,)
+    c.MODEL.ROI_HEADS.IOU_LABELS = (0, 1)
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    c.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    c.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    c.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT = True
+
+    c.MODEL.ROI_BOX_HEAD = CfgNode()
+    c.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    c.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    c.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    c.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    c.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    c.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    c.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    c.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    c.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
+    c.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    c.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
+
+    # ----------------------------- INPUT ----------------------------------
+    c.INPUT = CfgNode()
+    c.INPUT.MIN_SIZE_TRAIN = (600,)
+    c.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    c.INPUT.MAX_SIZE_TRAIN = 1333
+    c.INPUT.MIN_SIZE_TEST = 600
+    c.INPUT.MAX_SIZE_TEST = 1333
+    c.INPUT.RANDOM_FLIP = "horizontal"
+    c.INPUT.FORMAT = "BGR"
+    c.INPUT.CROP = CfgNode()
+    c.INPUT.CROP.ENABLED = False
+    c.INPUT.CROP.TYPE = "relative_range"
+    c.INPUT.CROP.SIZE = (0.9, 0.9)
+    # TPU-native additions: static canvas + padding budgets (DESIGN.md).
+    c.INPUT.CANVAS = CfgNode()
+    c.INPUT.CANVAS.WIDE = (608, 1216)   # (H, W) for w>h bucket
+    c.INPUT.CANVAS.TALL = (1216, 608)   # (H, W) for h>w bucket
+    c.INPUT.MAX_GT = 100
+
+    # ---------------------------- DATASETS ---------------------------------
+    c.DATASETS = CfgNode()
+    c.DATASETS.TRAIN = ("coco_2017_train",)
+    c.DATASETS.TEST = ("coco_2017_val",)
+    c.DATASETS.TRAIN_LABEL = ("coco_2017_train",)
+    c.DATASETS.TRAIN_UNLABEL = ("coco_2017_train",)
+    c.DATASETS.CROSS_DATASET = True
+    c.DATASETS.PROPOSAL_FILES_TRAIN = ()
+
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 2
+    c.DATALOADER.ASPECT_RATIO_GROUPING = True
+    c.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+    c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    # ----------------------------- SOLVER ----------------------------------
+    c.SOLVER = CfgNode()
+    c.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+    c.SOLVER.MAX_ITER = 40000
+    c.SOLVER.BASE_LR = 0.001
+    c.SOLVER.MOMENTUM = 0.9
+    c.SOLVER.NESTEROV = False
+    c.SOLVER.WEIGHT_DECAY = 0.0001
+    c.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    c.SOLVER.GAMMA = 0.1
+    c.SOLVER.STEPS = (30000,)
+    c.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    c.SOLVER.WARMUP_ITERS = 1000
+    c.SOLVER.WARMUP_METHOD = "linear"
+    c.SOLVER.CHECKPOINT_PERIOD = 5000
+    c.SOLVER.IMS_PER_BATCH = 16
+    c.SOLVER.BIAS_LR_FACTOR = 1.0
+    c.SOLVER.WEIGHT_DECAY_BIAS = 0.0001
+    c.SOLVER.CLIP_GRADIENTS = CfgNode()
+    c.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 10.0
+    c.SOLVER.AMP = CfgNode()
+    c.SOLVER.AMP.ENABLED = True  # bf16 compute on TPU
+    # pt/config.py extension
+    c.SOLVER.IMG_PER_BATCH_LABEL = 16
+    c.SOLVER.IMG_PER_BATCH_UNLABEL = 16
+    c.SOLVER.FACTOR_LIST = (1,)
+    c.SOLVER.REFERENCE_WORLD_SIZE = 1
+    c.SOLVER.REFERENCE_BATCH_SIZE = 0
+
+    # ----------------------------- TEST ------------------------------------
+    c.TEST = CfgNode()
+    c.TEST.EVAL_PERIOD = 0
+    c.TEST.EVALUATOR = "COCOeval"
+    c.TEST.DETECTIONS_PER_IMAGE = 100
+    c.TEST.EXPECTED_RESULTS = ()
+    c.TEST.PRECISE_BN = CfgNode()
+    c.TEST.PRECISE_BN.ENABLED = False
+    c.TEST.PRECISE_BN.NUM_ITER = 200
+
+    # ---------------------------- UNSUPNET ----------------------------------
+    c.UNSUPNET = CfgNode()
+    c.UNSUPNET.Trainer = "pt"
+    c.UNSUPNET.PSEUDO_BBOX_SAMPLE = "all"
+    c.UNSUPNET.TEACHER_UPDATE_ITER = 1
+    c.UNSUPNET.BURN_UP_STEP = 4000
+    c.UNSUPNET.EMA_KEEP_RATE = 0.0
+    c.UNSUPNET.LOSS_WEIGHT_TYPE = "standard"
+    c.UNSUPNET.SOURCE_LOSS_WEIGHT = 1.0
+    c.UNSUPNET.TARGET_UNSUP_LOSS_WEIGHT = 1.0
+    c.UNSUPNET.GUASSIAN = True
+    c.UNSUPNET.TAU = (0.5, 0.5)
+    c.UNSUPNET.EFL = True
+    c.UNSUPNET.EFL_LAMBDA = (0.5, 0.5)
+    c.UNSUPNET.MODEL_TYPE = "GUASSIAN"  # "GUASSIAN" | "LAPLACE"
+    # TPU-native: fixed budget for kept unsup ROI proposals (reference is unbounded,
+    # in practice well below this; DESIGN.md "Static shape budget").
+    c.UNSUPNET.UNSUP_ROI_BUDGET = 512
+
+    return c
+
+
+def add_config(cfg: CfgNode) -> CfgNode:
+    """Parity alias for the reference's pt/config.py add_config (defaults already merged)."""
+    return cfg

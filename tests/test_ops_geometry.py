@@ -1,0 +1,235 @@
+"""Golden tests for geometry primitives vs torch/torchvision oracles.
+
+Torch is used ONLY as a test oracle (the framework itself has zero torch dependency).
+Reference formulas cited from /root/reference (see each test).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probabilisticteacher_tpu.ops import anchors, box_regression, boxes, matcher, nms, roi_align, sampling
+
+import oracles
+
+
+def rand_boxes(rng, n, size=600):
+    xy = rng.uniform(0, size * 0.8, (n, 2))
+    wh = rng.uniform(8, size * 0.3, (n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+class TestIoU:
+    def test_pairwise_iou_vs_oracle(self):
+        rng = np.random.RandomState(0)
+        a = rand_boxes(rng, 33)
+        b = rand_boxes(rng, 57)
+        got = np.asarray(boxes.pairwise_iou(jnp.asarray(a), jnp.asarray(b)))
+        want = oracles.iou_matrix(a, b)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_degenerate_boxes_zero_iou(self):
+        a = jnp.asarray([[10.0, 10.0, 10.0, 10.0]])
+        b = jnp.asarray([[0.0, 0.0, 20.0, 20.0]])
+        assert float(boxes.pairwise_iou(a, b)[0, 0]) == 0.0
+
+    def test_clip_and_nonempty(self):
+        bx = jnp.asarray([[-5.0, -5.0, 650.0, 400.0], [10.0, 10.0, 10.0, 40.0]])
+        clipped = boxes.clip_boxes(bx, jnp.asarray([300.0, 600.0]))
+        np.testing.assert_allclose(np.asarray(clipped[0]), [0, 0, 600, 300])
+        ne = boxes.nonempty(clipped)
+        assert bool(ne[0]) and not bool(ne[1])
+
+
+class TestBoxTransform:
+    """Reference: pt/modeling/box_regression.py:66-139."""
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(1)
+        src = rand_boxes(rng, 64)
+        tgt = rand_boxes(rng, 64)
+        w = (10.0, 10.0, 5.0, 5.0)
+        deltas = box_regression.get_deltas(jnp.asarray(src), jnp.asarray(tgt), w)
+        back = box_regression.apply_deltas(deltas, jnp.asarray(src), w)
+        np.testing.assert_allclose(np.asarray(back), tgt, rtol=1e-4, atol=1e-2)
+
+    def test_get_deltas_formula(self):
+        # golden: dx = wx*(tcx-scx)/sw, dw = ww*log(tw/sw + 1e-9)
+        src = np.array([[0.0, 0.0, 100.0, 50.0]], np.float32)
+        tgt = np.array([[10.0, 5.0, 110.0, 105.0]], np.float32)
+        d = np.asarray(box_regression.get_deltas(jnp.asarray(src), jnp.asarray(tgt), (1, 1, 1, 1)))[0]
+        assert abs(d[0] - (60.0 - 50.0) / 100.0) < 1e-6
+        assert abs(d[1] - (55.0 - 25.0) / 50.0) < 1e-6
+        assert abs(d[2] - np.log(100.0 / 100.0 + 1e-9)) < 1e-6
+        assert abs(d[3] - np.log(100.0 / 50.0 + 1e-9)) < 1e-6
+
+    def test_scale_clamp(self):
+        src = np.array([[0.0, 0.0, 10.0, 10.0]], np.float32)
+        deltas = np.array([[0.0, 0.0, 100.0, 100.0]], np.float32)  # huge dw/dh
+        out = np.asarray(box_regression.apply_deltas(jnp.asarray(deltas), jnp.asarray(src)))[0]
+        w = out[2] - out[0]
+        assert abs(w - 10.0 * 1000.0 / 16.0) < 1e-2
+
+    def test_pdfs_golden(self):
+        # Reference: box_regression.py:33-40
+        val, mean, var = 0.7, 0.2, 0.4
+        g = float(box_regression.gaussian_dist_pdf(jnp.asarray(val), jnp.asarray(mean), jnp.asarray(var)))
+        want = np.exp(-((val - mean) ** 2) / (var + 1e-9) / 2) / np.sqrt(2 * np.pi * (var + 0.3))
+        assert abs(g - want) < 1e-6
+        l = float(box_regression.laplace_dist_pdf(jnp.asarray(val), jnp.asarray(mean), jnp.asarray(var)))
+        want_l = np.exp(-abs(val - mean) / np.sqrt(var + 1e-9)) / np.sqrt(4 * (var + 0.3))
+        assert abs(l - want_l) < 1e-6
+
+
+class TestAnchors:
+    def test_default_cell_anchors_match_detectron2_formula(self):
+        cells = anchors.default_cell_anchors([128, 256, 512], [0.5, 1.0, 2.0])
+        assert cells.shape == (9, 4)
+        # size 128, aspect 0.5: w = sqrt(128^2/0.5), h = 0.5*w
+        w = np.sqrt(128.0 ** 2 / 0.5)
+        h = 0.5 * w
+        np.testing.assert_allclose(cells[0], [-w / 2, -h / 2, w / 2, h / 2], rtol=1e-6)
+        # areas all equal size^2
+        areas = (cells[:, 2] - cells[:, 0]) * (cells[:, 3] - cells[:, 1])
+        np.testing.assert_allclose(areas[:3], 128.0 ** 2, rtol=1e-5)
+
+    def test_grid_anchor_tiling(self):
+        cells = jnp.asarray(anchors.default_cell_anchors([64], [1.0]))
+        grid = np.asarray(anchors.grid_anchors(cells, 2, 3, 16, offset=0.0))
+        assert grid.shape == (6, 4)
+        # anchor at (x=1, y=0) center = (16, 0)
+        np.testing.assert_allclose(grid[1], [16 - 32, -32, 16 + 32, 32], rtol=1e-6)
+        # row-major: index 3 is (y=1, x=0)
+        np.testing.assert_allclose(grid[3], [-32, 16 - 32, 32, 16 + 32], rtol=1e-6)
+
+    def test_learnable_wh_table_differentiable(self):
+        table = jnp.asarray([[100.0, 50.0]])
+        cell = anchors.cell_anchors_from_wh(table)
+        np.testing.assert_allclose(np.asarray(cell[0]), [-50, -25, 50, 25])
+        g = jax.grad(lambda t: jnp.sum(anchors.cell_anchors_from_wh(t)[:, 2]))(table)
+        np.testing.assert_allclose(np.asarray(g), [[0.5, 0.0]])
+
+
+def _d2_matcher_oracle(iou, thresholds, labels, allow_low_quality):
+    """numpy re-statement of detectron2 Matcher semantics (the behavior contract)."""
+    m, n = iou.shape
+    if m == 0:
+        return np.zeros(n, np.int64), np.full(n, labels[0], np.int8)
+    matched_vals = iou.max(0)
+    matches = iou.argmax(0)
+    out = np.full(n, labels[0], np.int8)
+    th = [-np.inf] + list(thresholds) + [np.inf]
+    for lab, lo, hi in zip(labels, th[:-1], th[1:]):
+        out[(matched_vals >= lo) & (matched_vals < hi)] = lab
+    if allow_low_quality:
+        highest = iou.max(1)
+        for g in range(m):
+            out[iou[g] == highest[g]] = 1
+    return matches, out
+
+
+class TestMatcher:
+    @pytest.mark.parametrize("allow_lq", [False, True])
+    def test_vs_oracle(self, allow_lq):
+        rng = np.random.RandomState(3)
+        gt = rand_boxes(rng, 7)
+        anc = rand_boxes(rng, 200)
+        iou = np.asarray(boxes.pairwise_iou(jnp.asarray(gt), jnp.asarray(anc)))
+        thresholds, labels = (0.3, 0.7), (0, -1, 1)
+        want_idx, want_lab = _d2_matcher_oracle(iou, thresholds, labels, allow_lq)
+        res = matcher.match(jnp.asarray(iou), thresholds, labels, allow_lq)
+        np.testing.assert_array_equal(np.asarray(res.labels), want_lab)
+        np.testing.assert_array_equal(np.asarray(res.matched_idx), want_idx)
+
+    def test_padded_gt_never_matches(self):
+        gt = jnp.asarray([[0.0, 0.0, 100.0, 100.0], [0.0, 0.0, 0.0, 0.0]])
+        anc = jnp.asarray([[0.0, 0.0, 100.0, 100.0], [500.0, 500.0, 600.0, 600.0]])
+        iou = matcher.masked_iou(boxes.pairwise_iou(gt, anc), jnp.asarray([True, False]))
+        res = matcher.match(iou, (0.3, 0.7), (0, -1, 1), True)
+        assert int(res.matched_idx[0]) == 0
+        assert int(res.labels[0]) == 1
+        # distant anchor: negative, not matched to the padded gt
+        assert int(res.labels[1]) == 0
+
+    def test_empty_gt_all_negative(self):
+        iou = jnp.full((3, 10), -1.0)  # all gts padded
+        res = matcher.match(iou, (0.5,), (0, 1), False)
+        assert np.all(np.asarray(res.labels) == 0)
+
+
+class TestSampling:
+    def test_counts_and_eligibility(self):
+        labels = jnp.asarray([1] * 30 + [0] * 500 + [-1] * 20)
+        pos, neg = sampling.subsample_labels(jax.random.PRNGKey(0), labels, 256, 0.25, bg_label=0)
+        pos, neg = np.asarray(pos), np.asarray(neg)
+        assert pos.sum() == 30  # min(30, 64)
+        assert neg.sum() == 226  # fill to 256
+        assert not pos[30:].any()
+        assert not neg[:30].any() and not neg[530:].any()
+
+    def test_pos_cap(self):
+        labels = jnp.asarray([1] * 300 + [0] * 300)
+        pos, neg = sampling.subsample_labels(jax.random.PRNGKey(1), labels, 256, 0.25)
+        assert np.asarray(pos).sum() == 64
+        assert np.asarray(neg).sum() == 192
+
+    def test_randomness(self):
+        labels = jnp.asarray([1] * 300 + [0] * 300)
+        p1, _ = sampling.subsample_labels(jax.random.PRNGKey(1), labels, 256, 0.25)
+        p2, _ = sampling.subsample_labels(jax.random.PRNGKey(2), labels, 256, 0.25)
+        assert not np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+class TestNMS:
+    @pytest.mark.parametrize("k,block", [(100, 2048), (1000, 256), (5000, 2048)])
+    def test_vs_oracle(self, k, block):
+        rng = np.random.RandomState(k)
+        bx = rand_boxes(rng, k, size=400)
+        sc = rng.uniform(size=k).astype(np.float32)
+        want = oracles.greedy_nms(bx, sc, 0.5)
+        max_keep = len(want)
+        idx, vmask = nms.nms(jnp.asarray(bx), jnp.asarray(sc), jnp.ones(k, bool), 0.5, max_keep, block)
+        got = np.asarray(idx)[np.asarray(vmask)]
+        np.testing.assert_array_equal(got, want[: len(got)])
+        assert len(got) == min(max_keep, len(want))
+
+    def test_invalid_excluded(self):
+        bx = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+        valid = jnp.asarray([True, False, True])
+        sc = jnp.asarray([0.9, 0.95, 0.8])
+        idx, vmask = nms.nms(bx, sc, valid, 0.5, 3)
+        got = np.asarray(idx)[np.asarray(vmask)]
+        np.testing.assert_array_equal(got, [0, 2])
+
+    def test_batched_nms_class_aware(self):
+        rng = np.random.RandomState(7)
+        bx = rand_boxes(rng, 300, size=200)
+        sc = rng.uniform(size=300).astype(np.float32)
+        cls = rng.randint(0, 5, 300)
+        want = oracles.batched_greedy_nms(bx, sc, cls, 0.5)
+        idx, vmask = nms.batched_nms(
+            jnp.asarray(bx), jnp.asarray(sc), jnp.asarray(cls), jnp.ones(300, bool), 0.5, len(want)
+        )
+        got = np.asarray(idx)[np.asarray(vmask)]
+        np.testing.assert_array_equal(got, want)
+
+
+class TestROIAlign:
+    @pytest.mark.parametrize("sampling_ratio", [1, 2])
+    def test_vs_oracle(self, sampling_ratio):
+        rng = np.random.RandomState(11)
+        feat = rng.randn(25, 38, 16).astype(np.float32)
+        rois = rand_boxes(rng, 40, size=350)  # image ~ 400x608, stride 16
+        want = oracles.roi_align_aligned(feat, rois, 1.0 / 16, 7, sampling_ratio)
+        got = np.asarray(
+            roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, 7, sampling_ratio)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_gradient_flows(self):
+        feat = jnp.ones((10, 10, 4))
+        rois = jnp.asarray([[8.0, 8.0, 80.0, 80.0]])
+        g = jax.grad(lambda f: jnp.sum(roi_align.roi_align(f, rois, 1.0 / 16, 7, 2)))(feat)
+        assert float(jnp.abs(g).sum()) > 0
