@@ -1,0 +1,506 @@
+"""Probabilistic-Teacher detector: pure-functional meta-architecture.
+
+TPU-native re-design of the reference's branch-dispatching model stack
+(``pt/modeling/meta_arch/rcnn.py:30-92`` + ``GuassianRPN`` + ``GuassianROIHead``):
+instead of one nn.Module called with a ``branch`` string, this module exposes pure
+functions over an explicit param pytree:
+
+- :func:`supervised_losses`    — branch "supervised"  (``rcnn.py:40-62``)
+- :func:`pseudo_labels`        — branch "unsup_data_weak" teacher pass (``rcnn.py:64-78``)
+- :func:`unsupervised_losses`  — branch "unsupervised" (+ anchor adaptation)
+- :func:`detect`               — inference (``rcnn.py:33-34`` -> ``fast_rcnn.py:34-120``)
+
+All functions are static-shape (padding + masks, see structures.py) and jit-friendly;
+the trainer composes them into single compiled train steps (engine/steps.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import boxes as box_ops
+from ..ops import losses as L
+from ..ops.box_regression import apply_deltas, get_deltas
+from ..ops.matcher import masked_iou, match
+from ..ops.nms import batched_nms, nms
+from ..ops.roi_align import roi_align_batched
+from ..ops.sampling import subsample_labels
+from ..structures import Detections, GroundTruth, ImageBatch, Proposals, PseudoLabels
+from .anchors_build import anchor_boxes, init_anchor_params, num_cell_anchors
+from .backbone import VGG
+from .heads import BoxHead, FastRCNNPredictor, RPNHead
+
+
+# --------------------------------------------------------------------------- #
+# Static architecture config
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class Arch:
+    """Hashable static model hyperparameters (from the reference's cfg surface)."""
+
+    num_classes: int = 8
+    vgg_depth: int = 16
+    feature: str = "vgg_block5"
+    stride: int = 16
+    # anchors
+    anchor_sizes: Tuple[float, ...] = (128.0, 256.0, 512.0)
+    anchor_aspects: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_offset: float = 0.0
+    learnable_anchors: bool = False
+    anchor_init_wh: Tuple[Tuple[float, float], ...] = (
+        (181.0193, 90.5097), (128.0, 128.0), (90.5097, 181.0193),
+        (362.0387, 181.0193), (256.0, 256.0), (181.0193, 362.0387),
+        (724.0773, 362.0387), (512.0, 512.0), (362.0387, 724.0773),
+    )
+    # RPN
+    rpn_iou_thresholds: Tuple[float, ...] = (0.3, 0.7)
+    rpn_batch_per_image: int = 256
+    rpn_pos_fraction: float = 0.25
+    rpn_reg_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    rpn_pre_nms_topk: Tuple[int, int] = (6000, 12000)   # (test, train)
+    rpn_post_nms_topk: Tuple[int, int] = (1000, 2000)   # (test, train)
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    rpn_loss_weight: float = 1.0
+    # ROI
+    roi_iou_threshold: float = 0.5
+    roi_batch_per_image: int = 512
+    roi_pos_fraction: float = 0.25
+    roi_reg_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 2
+    fc_dim: int = 1024
+    num_fc: int = 2
+    proposal_append_gt: bool = True
+    # test-time
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_image: int = 100
+    # PT specifics
+    model_type: str = "GUASSIAN"  # or "LAPLACE"
+    tau: Tuple[float, float] = (0.5, 0.5)
+    efl: bool = True
+    efl_lambda: Tuple[float, float] = (0.5, 0.5)
+    unsup_roi_budget: int = 512
+    # preprocessing (Caffe-BGR, detectron2 defaults used by the reference)
+    pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    compute_dtype: str = "float32"
+
+    @staticmethod
+    def from_cfg(cfg) -> "Arch":
+        m = cfg.MODEL
+        return Arch(
+            num_classes=m.ROI_HEADS.NUM_CLASSES,
+            vgg_depth=m.VGG.DEPTH,
+            feature=m.RPN.IN_FEATURES[0],
+            stride=VGG.stride(m.RPN.IN_FEATURES[0]),
+            anchor_sizes=tuple(float(s) for s in m.ANCHOR_GENERATOR.SIZES[0]),
+            anchor_aspects=tuple(float(a) for a in m.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+            anchor_offset=float(m.ANCHOR_GENERATOR.OFFSET),
+            learnable_anchors=(m.ANCHOR_GENERATOR.NAME == "DifferentiableAnchorGenerator"),
+            anchor_init_wh=tuple(tuple(float(v) for v in wh) for wh in m.ANCHOR_GENERATOR.ANCHOR[0]),
+            rpn_iou_thresholds=tuple(m.RPN.IOU_THRESHOLDS),
+            rpn_batch_per_image=m.RPN.BATCH_SIZE_PER_IMAGE,
+            rpn_pos_fraction=m.RPN.POSITIVE_FRACTION,
+            rpn_reg_weights=tuple(m.RPN.BBOX_REG_WEIGHTS),
+            rpn_pre_nms_topk=(m.RPN.PRE_NMS_TOPK_TEST, m.RPN.PRE_NMS_TOPK_TRAIN),
+            rpn_post_nms_topk=(m.RPN.POST_NMS_TOPK_TEST, m.RPN.POST_NMS_TOPK_TRAIN),
+            rpn_nms_thresh=m.RPN.NMS_THRESH,
+            rpn_min_size=float(m.PROPOSAL_GENERATOR.MIN_SIZE),
+            rpn_loss_weight=float(m.RPN.LOSS_WEIGHT),
+            roi_iou_threshold=m.ROI_HEADS.IOU_THRESHOLDS[0],
+            roi_batch_per_image=m.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            roi_pos_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
+            roi_reg_weights=tuple(m.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+            pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            # SAMPLING_RATIO=0 in the reference means adaptive (dynamic shape);
+            # static TPU equivalent: fixed 2x2 grid (DESIGN.md / ops/roi_align.py).
+            pooler_sampling_ratio=m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2,
+            fc_dim=m.ROI_BOX_HEAD.FC_DIM,
+            num_fc=m.ROI_BOX_HEAD.NUM_FC,
+            proposal_append_gt=m.ROI_HEADS.PROPOSAL_APPEND_GT,
+            score_thresh=m.ROI_HEADS.SCORE_THRESH_TEST,
+            nms_thresh=m.ROI_HEADS.NMS_THRESH_TEST,
+            detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            model_type=cfg.UNSUPNET.MODEL_TYPE,
+            tau=tuple(cfg.UNSUPNET.TAU),
+            efl=cfg.UNSUPNET.EFL,
+            efl_lambda=tuple(cfg.UNSUPNET.EFL_LAMBDA),
+            unsup_roi_budget=cfg.UNSUPNET.UNSUP_ROI_BUDGET,
+            pixel_mean=tuple(m.PIXEL_MEAN),
+            pixel_std=tuple(m.PIXEL_STD),
+            compute_dtype="bfloat16" if cfg.SOLVER.AMP.ENABLED else "float32",
+        )
+
+
+class PTDetector:
+    """Binds an Arch to flax modules + pure forward/loss functions.
+
+    The instance holds no state except module definitions; all parameters travel in an
+    explicit pytree {"backbone", "rpn_head", "box_head", "predictor"[, "anchor_wh"]}.
+    """
+
+    def __init__(self, arch: Arch):
+        self.arch = arch
+        dtype = jnp.bfloat16 if arch.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        self.A = num_cell_anchors(arch)
+        self.backbone = VGG(depth=arch.vgg_depth, out_features=(arch.feature,), dtype=dtype)
+        in_channels = VGG.out_channels(arch.vgg_depth, arch.feature)
+        self.rpn_head = RPNHead(num_anchors=self.A, box_dim=8, conv_dim=in_channels, dtype=dtype)
+        self.box_head = BoxHead(fc_dim=arch.fc_dim, num_fc=arch.num_fc, dtype=dtype)
+        self.predictor = FastRCNNPredictor(num_classes=arch.num_classes, box_dim=8, dtype=dtype)
+
+    # ----------------------------------------------------------------- init
+    def init(self, rng: jax.Array, canvas_hw: Tuple[int, int] = (64, 64)) -> Dict[str, Any]:
+        kb, kr, kh, kp = jax.random.split(rng, 4)
+        h, w = canvas_hw
+        a = self.arch
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        bb = self.backbone.init(kb, dummy)["params"]
+        feat = jnp.zeros((1, h // a.stride, w // a.stride,
+                          VGG.out_channels(a.vgg_depth, a.feature)), jnp.float32)
+        rp = self.rpn_head.init(kr, feat)["params"]
+        pooled = jnp.zeros((1, 4, a.pooler_resolution, a.pooler_resolution, feat.shape[-1]), jnp.float32)
+        bh = self.box_head.init(kh, pooled)["params"]
+        pr = self.predictor.init(kp, jnp.zeros((1, 4, a.fc_dim), jnp.float32))["params"]
+        params = {"backbone": bb, "rpn_head": rp, "box_head": bh, "predictor": pr}
+        wh = init_anchor_params(a)
+        if wh is not None:
+            params["anchor_wh"] = wh
+        return params
+
+    # ------------------------------------------------------------ primitives
+    def preprocess(self, images: ImageBatch) -> jnp.ndarray:
+        """Normalize raw pixels (Caffe-BGR mean/std), keep NHWC."""
+        mean = jnp.asarray(self.arch.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.arch.pixel_std, jnp.float32)
+        return (images.image.astype(jnp.float32) - mean) / std
+
+    def features(self, params, images: ImageBatch) -> jnp.ndarray:
+        x = self.preprocess(images)
+        return self.backbone.apply({"params": params["backbone"]}, x)[self.arch.feature]
+
+    def anchors(self, params, feat_h: int, feat_w: int) -> jnp.ndarray:
+        return anchor_boxes(params.get("anchor_wh"), self.arch, feat_h, feat_w)
+
+    def rpn_predict(self, params, feat) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> objectness (N, R), deltas (N, R, 8)."""
+        return self.rpn_head.apply({"params": params["rpn_head"]}, feat)
+
+    def roi_predict(self, params, feat, boxes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """ROIAlign + box head + predictor. boxes (N, B, 4) -> ((N, B, K+1), (N, B, K*8))."""
+        a = self.arch
+        pooled = roi_align_batched(
+            feat.astype(jnp.float32), boxes, 1.0 / a.stride,
+            a.pooler_resolution, a.pooler_sampling_ratio,
+        )
+        x = self.box_head.apply({"params": params["box_head"]}, pooled)
+        return self.predictor.apply({"params": params["predictor"]}, x)
+
+    # ------------------------------------------------------------- proposals
+    def predict_proposals(
+        self, anchors, obj, deltas, image_hw, training: bool
+    ) -> Proposals:
+        """find_top_rpn_proposals (``proposal_utils.py:27-154``), static shapes.
+
+        topk by objectness -> decode -> clip -> min-size filter -> sigma-rescored
+        greedy NMS -> post-topk. The sigma rescale ``score *= 1 - mean(sigmoid(s))``
+        follows ``proposal_utils.py:134-138``; unlike the reference we gather sigma
+        by the same topk index as the proposals (the reference narrows sigma without
+        reindexing — a bug we deliberately do not replicate).
+
+        Gradients are stopped (reference decodes under no_grad, ``rpn.py:176``).
+        """
+        a = self.arch
+        r = obj.shape[1]
+        pre = min(a.rpn_pre_nms_topk[int(training)], r)
+        post = a.rpn_post_nms_topk[int(training)]
+        anchors = jax.lax.stop_gradient(anchors)
+        obj = jax.lax.stop_gradient(obj)
+        deltas = jax.lax.stop_gradient(deltas)
+
+        def per_image(obj_i, deltas_i, hw):
+            scores, idx = jax.lax.top_k(obj_i, pre)
+            d = jnp.take(deltas_i, idx, axis=0)           # (pre, 8)
+            anc = jnp.take(anchors, idx, axis=0)          # (pre, 4)
+            boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
+            boxes = box_ops.clip_boxes(boxes, hw)
+            keep = box_ops.nonempty(boxes, a.rpn_min_size)
+            finite = jnp.all(jnp.isfinite(boxes), axis=-1) & jnp.isfinite(scores)
+            keep = keep & finite
+            rescale = 1.0 - jnp.mean(jax.nn.sigmoid(d[:, 4:]), axis=-1)
+            scores = scores * rescale
+            kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
+            return jnp.take(boxes, kidx, axis=0), jnp.take(scores, kidx), kvalid
+
+        pb, ps, pv = jax.vmap(per_image)(obj, deltas, image_hw)
+        return Proposals(pb, ps, pv)
+
+    # --------------------------------------------------------- RPN sup losses
+    def rpn_supervised_losses(self, anchors, obj, deltas, gt: GroundTruth, rng) -> Dict[str, jnp.ndarray]:
+        """``GuassianRPN.losses`` (``rpn.py:191-255``): sampled BCE objectness +
+        Gaussian/Laplace NLL box regression, both / (256 * N)."""
+        a = self.arch
+        n = obj.shape[0]
+        anchors_sg = jax.lax.stop_gradient(anchors)
+
+        def label_one(key, gt_boxes, gt_valid):
+            iou = masked_iou(box_ops.pairwise_iou(gt_boxes, anchors_sg), gt_valid)
+            midx, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
+            pos, neg = subsample_labels(
+                key, labels.astype(jnp.int32), a.rpn_batch_per_image, a.rpn_pos_fraction, 0
+            )
+            return pos, neg, jnp.take(gt_boxes, midx, axis=0)
+
+        keys = jax.random.split(rng, n)
+        pos, neg, matched = jax.vmap(label_one)(keys, gt.boxes, gt.valid)
+        matched = jax.lax.stop_gradient(matched)
+
+        obj_loss = L.binary_cross_entropy_with_logits_sum(obj, pos.astype(jnp.float32), pos | neg)
+        gt_deltas = get_deltas(jnp.broadcast_to(anchors_sg, matched.shape), matched, a.rpn_reg_weights)
+        loc_loss = L.prob_box_nll_sum(deltas[..., :4], deltas[..., 4:], gt_deltas, pos, a.model_type)
+        normalizer = a.rpn_batch_per_image * n
+        w = a.rpn_loss_weight
+        return {"loss_rpn_cls": w * obj_loss / normalizer, "loss_rpn_loc": w * loc_loss / normalizer}
+
+    # --------------------------------------------------------- ROI sup losses
+    def roi_supervised_losses(
+        self, params, feat, proposals: Proposals, gt: GroundTruth, rng
+    ) -> Dict[str, jnp.ndarray]:
+        """label_and_sample_proposals + FastRCNN losses (``roi_heads.py:192-255``,
+        ``fast_rcnn.py:265-336``): CE mean over sampled rows + Gaussian NLL / R."""
+        a = self.arch
+        n, p, _ = proposals.boxes.shape
+        if a.proposal_append_gt:
+            all_boxes = jnp.concatenate([proposals.boxes, gt.boxes], axis=1)
+            all_valid = jnp.concatenate([proposals.valid, gt.valid], axis=1)
+        else:
+            all_boxes, all_valid = proposals.boxes, proposals.valid
+        s = a.roi_batch_per_image
+        k = a.num_classes
+
+        def sample_one(key, boxes_i, pvalid_i, gtb, gtc, gtv):
+            iou = masked_iou(box_ops.pairwise_iou(gtb, boxes_i), gtv)
+            midx, labels = match(iou, (a.roi_iou_threshold,), (0, 1), False)
+            cls = jnp.where(labels == 1, jnp.take(gtc, midx), k)
+            lab = jnp.where((labels == 1) & pvalid_i, 1,
+                            jnp.where((labels == 0) & pvalid_i, 0, -1))
+            pos, neg = subsample_labels(key, lab, s, a.roi_pos_fraction, 0)
+            idx, valid = _first_k_indices(pos | neg, s)
+            s_boxes = jnp.take(boxes_i, idx, axis=0)
+            s_cls = jnp.where(valid, jnp.take(cls, idx), k)
+            s_fg = jnp.take(pos, idx) & valid
+            s_matched = jnp.take(gtb, jnp.take(midx, idx), axis=0)
+            return s_boxes, s_cls.astype(jnp.int32), s_fg, s_matched, valid
+
+        keys = jax.random.split(rng, n)
+        s_boxes, s_cls, s_fg, s_matched, s_valid = jax.vmap(sample_one)(
+            keys, all_boxes, all_valid, gt.boxes, gt.classes, gt.valid
+        )
+        s_boxes = jax.lax.stop_gradient(s_boxes)
+
+        scores, pdeltas = self.roi_predict(params, feat, s_boxes)
+        loss_cls = L.softmax_cross_entropy_mean(scores, s_cls, s_valid)
+
+        d = pdeltas.reshape(n, s, k, 8)
+        cls_idx = jnp.clip(s_cls, 0, k - 1)
+        sel = jnp.take_along_axis(d, cls_idx[..., None, None], axis=2)[:, :, 0]  # (N, S, 8)
+        gt_deltas = get_deltas(s_boxes, s_matched, a.roi_reg_weights)
+        total = jnp.maximum(jnp.sum(s_valid.astype(jnp.float32)), 1.0)
+        loss_box = L.prob_box_nll_sum(sel[..., :4], sel[..., 4:], gt_deltas, s_fg, a.model_type) / total
+        return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+
+    # ------------------------------------------------------ supervised branch
+    def supervised_losses(
+        self, params, images: ImageBatch, gt: GroundTruth, rng
+    ) -> Dict[str, jnp.ndarray]:
+        """branch="supervised" (``rcnn.py:40-62``): RPN sup + ROI sup losses."""
+        kr, ko = jax.random.split(rng)
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = jax.lax.stop_gradient(self.anchors(params, feat.shape[1], feat.shape[2]))
+        losses = self.rpn_supervised_losses(anchors, obj, deltas, gt, kr)
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=True)
+        losses.update(self.roi_supervised_losses(params, feat, proposals, gt, ko))
+        return losses
+
+    # ------------------------------------------------------ teacher weak pass
+    def pseudo_labels(self, params, images: ImageBatch) -> PseudoLabels:
+        """branch="unsup_data_weak" (``rcnn.py:64-78`` + ``trainer.py:179-246``):
+        RPN proposals (train topk — the teacher stays in train mode) -> ROI inference
+        with sigma-discounted scores -> "all" pseudo labels (no thresholding beyond
+        the standard 0.05 score filter inside fast_rcnn inference)."""
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = self.anchors(params, feat.shape[1], feat.shape[2])
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=True)
+        det = self._roi_inference(params, feat, proposals, images.image_hw)
+        out = PseudoLabels(boxes=det.boxes, logits=det.logits, sigma=det.sigma, valid=det.valid)
+        return jax.tree.map(jax.lax.stop_gradient, out)
+
+    def detect(self, params, images: ImageBatch) -> Detections:
+        """Inference path (eval): test-time topk proposals + ROI inference."""
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = self.anchors(params, feat.shape[1], feat.shape[2])
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=False)
+        return self._roi_inference(params, feat, proposals, images.image_hw)
+
+    def _roi_inference(self, params, feat, proposals: Proposals, image_hw) -> Detections:
+        """``fast_rcnn_inference_single_image`` (``fast_rcnn.py:34-120``):
+        softmax minus bg -> per-class decode + clip -> score_thresh filter ->
+        sigma discount ``score *= 1 - sum(sigmoid(sigma))/4`` -> class-aware NMS ->
+        top ``detections_per_image``; keeps raw class logits + raw sigma."""
+        a = self.arch
+        k = a.num_classes
+        n, p, _ = proposals.boxes.shape
+        scores_logits, pdeltas = self.roi_predict(params, feat, proposals.boxes)
+        max_det = a.detections_per_image
+
+        def per_image(logits_i, deltas_i, pboxes_i, pvalid_i, hw):
+            probs = jax.nn.softmax(logits_i, axis=-1)[:, :-1]           # (P, K)
+            d = deltas_i.reshape(p, k, 8)
+            boxes = apply_deltas(
+                d[..., :4].reshape(p, k * 4), pboxes_i, a.roi_reg_weights
+            ).reshape(p, k, 4)
+            boxes = box_ops.clip_boxes(boxes, hw)
+            sigma = d[..., 4:]                                           # (P, K, 4)
+            fmask = (probs > a.score_thresh) & pvalid_i[:, None]
+            disc = 1.0 - jnp.sum(jax.nn.sigmoid(sigma), axis=-1) / 4.0
+            scores = probs * disc
+            flat_boxes = boxes.reshape(p * k, 4)
+            flat_scores = scores.reshape(p * k)
+            flat_valid = fmask.reshape(p * k)
+            cls_ids = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (p, k)).reshape(-1)
+            kidx, kvalid = batched_nms(
+                flat_boxes, flat_scores, cls_ids, flat_valid, a.nms_thresh, max_det
+            )
+            row = kidx // k
+            out_boxes = jnp.take(flat_boxes, kidx, axis=0)
+            out_scores = jnp.take(flat_scores, kidx)
+            out_cls = jnp.take(cls_ids, kidx)
+            out_logits = jnp.take(logits_i, row, axis=0)                 # (D, K+1)
+            out_sigma = jnp.take(sigma.reshape(p * k, 4), kidx, axis=0)  # (D, 4)
+            return out_boxes, out_scores, out_cls, out_logits, out_sigma, kvalid
+
+        b, sc, c, lg, sg, v = jax.vmap(per_image)(
+            scores_logits, pdeltas, proposals.boxes, proposals.valid, image_hw
+        )
+        return Detections(b, sc, c, lg, sg, v)
+
+    # --------------------------------------------------- unsupervised branch
+    def unsupervised_losses(
+        self, params, images: ImageBatch, pseudo: PseudoLabels, rng
+    ) -> Dict[str, jnp.ndarray]:
+        """branch="unsupervised" with danchor=True (``rcnn.py:47-62``,
+        ``rpn.py:115-135,257-361``, ``roi_heads.py:131-172,257-291``).
+
+        The learnable anchors receive gradient ONLY here, through mean_p =
+        get_deltas(anchors, matched_pseudo_box) in the RPN KL term (anchor
+        adaptation, ``rpn.py:91-94,311``)."""
+        del rng  # no sampling in the unsupervised branch (soft labels, no subsample)
+        a = self.arch
+        k = a.num_classes
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = self.anchors(params, feat.shape[1], feat.shape[2])  # grads flow (danchor)
+        anchors_sg = jax.lax.stop_gradient(anchors)
+        n = obj.shape[0]
+
+        # ---- RPN soft losses -------------------------------------------------
+        def rpn_label_one(pboxes, plogits, psigma, pvalid):
+            iou = masked_iou(box_ops.pairwise_iou(pboxes, anchors_sg), pvalid)
+            midx, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
+            amask = labels == 1
+            return (
+                amask,
+                jnp.take(plogits, midx, axis=0),
+                jnp.take(psigma, midx, axis=0),
+                jnp.take(pboxes, midx, axis=0),
+            )
+
+        amask, t_logits, t_sigma, t_boxes = jax.vmap(rpn_label_one)(
+            pseudo.boxes, pseudo.logits, pseudo.sigma, pseudo.valid
+        )
+        fg = jnp.argmax(t_logits, axis=-1) != k
+        normalizer = a.rpn_batch_per_image * n
+        loss_rpn_cls = L.rpn_soft_cls_loss(
+            obj, t_logits, amask, a.tau[0], a.efl, a.efl_lambda[0]
+        ) / normalizer
+        # mean_p carries anchor gradients (anchors NOT detached here)
+        mean_p = get_deltas(jnp.broadcast_to(anchors, t_boxes.shape), t_boxes, a.rpn_reg_weights)
+        loss_rpn_loc = L.kl_consistency_box_loss(
+            deltas[..., :4], deltas[..., 4:], mean_p, t_sigma,
+            amask & fg, a.tau[1], a.efl, a.efl_lambda[1], a.model_type, "sum",
+        ) / normalizer
+
+        # ---- ROI soft losses -------------------------------------------------
+        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw, training=True)
+        b = a.unsup_roi_budget
+
+        def roi_keep_one(pboxes, plogits, psigma, pvalid, prop_boxes, prop_valid):
+            iou = masked_iou(box_ops.pairwise_iou(pboxes, prop_boxes), pvalid)
+            midx, labels = match(iou, (a.roi_iou_threshold,), (0, 1), False)
+            kept = (labels == 1) & prop_valid
+            idx, kvalid = _first_k_indices(kept, b)
+            kmidx = jnp.take(midx, idx)
+            return (
+                jnp.take(prop_boxes, idx, axis=0),
+                jnp.take(pboxes, kmidx, axis=0),
+                jnp.take(plogits, kmidx, axis=0),
+                jnp.take(psigma, kmidx, axis=0),
+                kvalid,
+            )
+
+        k_boxes, k_pboxes, k_logits, k_sigma, k_valid = jax.vmap(roi_keep_one)(
+            pseudo.boxes, pseudo.logits, pseudo.sigma, pseudo.valid,
+            proposals.boxes, proposals.valid,
+        )
+        scores, pdeltas = self.roi_predict(params, feat, k_boxes)
+
+        # cls: soft CE, normalized by the total kept count across the batch
+        # (reference concatenates images then divides by rows, fast_rcnn.py:208-209)
+        flat_valid = k_valid.reshape(-1)
+        loss_cls = L.roi_soft_cls_loss(
+            scores.reshape(-1, k + 1), k_logits.reshape(-1, k + 1), flat_valid,
+            a.tau[0], a.efl, a.efl_lambda[0],
+        )
+
+        # box: KL on rows whose pseudo argmax is foreground, mean over elements
+        pseudo_cls = jnp.argmax(k_logits, axis=-1)
+        fg_rows = k_valid & (pseudo_cls != k)
+        d = pdeltas.reshape(n, b, k, 8)
+        cls_idx = jnp.clip(pseudo_cls, 0, k - 1)
+        sel = jnp.take_along_axis(d, cls_idx[..., None, None], axis=2)[:, :, 0]  # (N, B, 8)
+        mean_p_roi = get_deltas(k_boxes, k_pboxes, a.roi_reg_weights)
+        loss_box = L.kl_consistency_box_loss(
+            sel[..., :4], sel[..., 4:], mean_p_roi, k_sigma,
+            fg_rows, a.tau[1], a.efl, a.efl_lambda[1], a.model_type, "mean",
+        )
+
+        return {
+            "loss_rpn_cls": a.rpn_loss_weight * loss_rpn_cls,
+            "loss_rpn_loc": a.rpn_loss_weight * loss_rpn_loc,
+            "loss_cls": loss_cls,
+            "loss_box_reg": loss_box,
+        }
+
+
+def _first_k_indices(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices of the first k True entries of mask (in order), plus a validity mask."""
+    num = mask.shape[0]
+    key = jnp.where(mask, -jnp.arange(num, dtype=jnp.float32), -jnp.inf)
+    _, idx = jax.lax.top_k(key, min(k, num))
+    valid = jnp.take(mask, idx)
+    if k > num:  # pad (degenerate; budgets are always <= row count in practice)
+        idx = jnp.pad(idx, (0, k - num))
+        valid = jnp.pad(valid, (0, k - num))
+    return idx.astype(jnp.int32), valid

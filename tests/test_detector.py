@@ -1,0 +1,126 @@
+"""Detector branch tests on tiny static shapes (CPU).
+
+Exercises the four branches of the reference meta-arch (``pt/modeling/meta_arch/
+rcnn.py:30-92``): supervised losses, teacher weak pass (pseudo labels),
+unsupervised losses (incl. anchor-adaptation gradients), and inference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+from probabilisticteacher_tpu.structures import GroundTruth, ImageBatch
+
+TINY = Arch(
+    num_classes=3,
+    vgg_depth=11,
+    rpn_pre_nms_topk=(64, 64),
+    rpn_post_nms_topk=(32, 48),
+    rpn_batch_per_image=16,
+    roi_batch_per_image=16,
+    detections_per_image=8,
+    unsup_roi_budget=16,
+    fc_dim=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    det = PTDetector(TINY)
+    params = det.init(jax.random.key(0), (64, 64))
+    rng = np.random.RandomState(0)
+    n, g = 2, 5
+    images = ImageBatch(
+        image=jnp.asarray(rng.randint(0, 255, (n, 64, 64, 3)).astype(np.float32)),
+        image_hw=jnp.asarray([[64.0, 64.0], [48.0, 60.0]]),
+    )
+    boxes = np.zeros((n, g, 4), np.float32)
+    for i in range(n):
+        for j in range(g):
+            x1, y1 = rng.uniform(0, 40, 2)
+            boxes[i, j] = [x1, y1, x1 + rng.uniform(4, 20), y1 + rng.uniform(4, 20)]
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(rng.randint(0, 3, (n, g)), jnp.int32),
+        valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 0]], bool),
+    )
+    return det, params, images, gt
+
+
+def test_supervised_losses_finite(setup):
+    det, params, images, gt = setup
+    losses = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) >= 0 or k == "loss_rpn_loc"  # NLL of a pdf can go negative
+
+
+def test_supervised_grads_flow(setup):
+    det, params, images, gt = setup
+
+    def total(p):
+        return sum(det.supervised_losses(p, images, gt, jax.random.key(1)).values())
+
+    grads = jax.grad(total)(params)
+    gnorm = jax.tree.reduce(lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_pseudo_labels_and_detect(setup):
+    det, params, images, _ = setup
+    pseudo = jax.jit(det.pseudo_labels)(params, images)
+    assert pseudo.boxes.shape == (2, 8, 4)
+    assert pseudo.logits.shape == (2, 8, 4)  # K+1 = 4
+    assert pseudo.sigma.shape == (2, 8, 4)
+    dets = jax.jit(det.detect)(params, images)
+    assert dets.boxes.shape == (2, 8, 4)
+    # valid detections lie inside the (clipped) image
+    b = np.asarray(dets.boxes)
+    v = np.asarray(dets.valid)
+    hw = np.asarray(images.image_hw)
+    for i in range(2):
+        if v[i].any():
+            assert (b[i][v[i]][:, [0, 2]] <= hw[i, 1] + 1e-4).all()
+            assert (b[i][v[i]][:, [1, 3]] <= hw[i, 0] + 1e-4).all()
+
+
+def test_unsupervised_losses_and_anchor_grads():
+    arch = TINY.__class__(**{**TINY.__dict__, "learnable_anchors": True})
+    det = PTDetector(arch)
+    params = det.init(jax.random.key(0), (64, 64))
+    rng = np.random.RandomState(1)
+    n = 2
+    images = ImageBatch(
+        image=jnp.asarray(rng.randint(0, 255, (n, 64, 64, 3)).astype(np.float32)),
+        image_hw=jnp.asarray([[64.0, 64.0], [64.0, 64.0]]),
+    )
+    pseudo = jax.jit(det.pseudo_labels)(params, images)
+    losses = jax.jit(det.unsupervised_losses)(params, images, pseudo, jax.random.key(2))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(p):
+        return sum(det.unsupervised_losses(p, images, pseudo, jax.random.key(2)).values())
+
+    grads = jax.grad(total)(params)
+    # anchor adaptation: anchors receive gradient in the unsupervised branch iff
+    # at least one anchor matched a pseudo box (rpn.py:91-94,311)
+    assert "anchor_wh" in grads
+    anchor_g = float(jnp.sum(jnp.abs(grads["anchor_wh"])))
+    assert np.isfinite(anchor_g)
+
+    def total_sup(p):
+        gt = GroundTruth.empty(n, 4)
+        gt = gt._replace(
+            boxes=gt.boxes.at[:, 0].set(jnp.asarray([8.0, 8.0, 40.0, 40.0])),
+            valid=gt.valid.at[:, 0].set(True),
+            classes=gt.classes,
+        )
+        return sum(det.supervised_losses(p, images, gt, jax.random.key(3)).values())
+
+    sup_grads = jax.grad(total_sup)(params)
+    # supervised branch: anchors are grad-zeroed (no danchor)
+    assert float(jnp.sum(jnp.abs(sup_grads["anchor_wh"]))) == 0.0
