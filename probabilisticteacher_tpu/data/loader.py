@@ -1,0 +1,230 @@
+"""Host data pipeline: decode, weak aug, aspect bucketing, static padded batches.
+
+Replaces the reference's torch DataLoader stack (``pt/data/build.py``,
+``pt/data/common.py``, ``pt/data/dataset_mapper.py``) with a numpy/PIL pipeline
+shaped for TPU feeding:
+
+- weak augmentation on host: ResizeShortestEdge(600, max 1333) + random hflip
+  (``dataset_mapper.py:51-59``); geometry is shared by the strong view, which is
+  generated ON DEVICE inside the train step (data/device_aug.py) — that is the
+  TPU-first redesign of the two-crop mapper (``dataset_mapper.py:156-172``).
+- aspect-ratio bucketing into two static canvases (w>h vs h>w), mirroring
+  ``AspectRatioGroupedSemiSupDatasetTwoCrop`` (``common.py:106-180``); a batch is
+  emitted when one bucket holds a full labeled AND unlabeled set.
+- GT padded to MAX_GT with a validity mask (structures.GroundTruth).
+- background prefetch thread (host has few cores; decode overlaps device step).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+# --------------------------------------------------------------------------- #
+# single-image transforms
+# --------------------------------------------------------------------------- #
+def read_image_bgr(path: str) -> np.ndarray:
+    """uint8 (H, W, 3) in BGR order (cfg.INPUT.FORMAT="BGR", Caffe convention)."""
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)[:, :, ::-1]
+
+
+def resize_shortest_edge(img: np.ndarray, boxes: np.ndarray, short: int,
+                         max_size: int) -> Tuple[np.ndarray, np.ndarray, float]:
+    """detectron2 ResizeShortestEdge: scale so min side == short, cap long side."""
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    if (nh, nw) != (h, w):
+        img = np.asarray(
+            Image.fromarray(img).resize((nw, nh), Image.BILINEAR), dtype=np.uint8
+        )
+    if boxes.size:
+        boxes = boxes * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return img, boxes, scale
+
+
+def hflip(img: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    w = img.shape[1]
+    img = img[:, ::-1]
+    if boxes.size:
+        boxes = boxes.copy()
+        x1 = boxes[:, 0].copy()
+        boxes[:, 0] = w - boxes[:, 2]
+        boxes[:, 2] = w - x1
+    return img, boxes
+
+
+# --------------------------------------------------------------------------- #
+# sample -> padded canvas record
+# --------------------------------------------------------------------------- #
+class Mapper:
+    """Weak augmentation + canvas padding for one dataset dict."""
+
+    def __init__(self, cfg, is_train: bool = True):
+        self.short_sizes = tuple(cfg.INPUT.MIN_SIZE_TRAIN) if is_train else (cfg.INPUT.MIN_SIZE_TEST,)
+        self.max_size = cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
+        self.do_flip = is_train and cfg.INPUT.RANDOM_FLIP != "none"
+        self.canvas_wide = tuple(cfg.INPUT.CANVAS.WIDE)
+        self.canvas_tall = tuple(cfg.INPUT.CANVAS.TALL)
+        self.max_gt = cfg.INPUT.MAX_GT
+        self.is_train = is_train
+
+    def __call__(self, record: dict, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        img = read_image_bgr(record["file_name"])
+        annos = record.get("annotations", [])
+        boxes = np.asarray([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+        classes = np.asarray([a["category_id"] for a in annos], np.int64).reshape(-1)
+
+        short = int(rng.choice(self.short_sizes))
+        img, boxes, scale = resize_shortest_edge(img, boxes, short, self.max_size)
+        if self.do_flip and rng.random() < 0.5:
+            img, boxes = hflip(img, boxes)
+
+        h, w = img.shape[:2]
+        bucket = 0 if w > h else 1
+        ch, cw = self.canvas_wide if bucket == 0 else self.canvas_tall
+        # safety crop for canvases tighter than the resize budget
+        img = img[:ch, :cw]
+        h, w = img.shape[:2]
+
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:h, :w] = img
+
+        g = self.max_gt
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        if boxes.size:
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            boxes, classes = boxes[keep][:g], classes[keep][:g]
+            k = len(boxes)
+            gt_boxes[:k] = boxes
+            gt_classes[:k] = classes
+            gt_valid[:k] = True
+
+        return {
+            "image": canvas,
+            "image_hw": np.asarray([h, w], np.float32),
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "bucket": bucket,
+            "image_id": record["image_id"],
+            "orig_hw": np.asarray([record["height"], record["width"]], np.float32),
+            "scale": np.float32(scale),
+            "flipped": False,  # eval loader never flips
+        }
+
+
+def _stack(records: Sequence[dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in ("image", "image_hw", "gt_boxes", "gt_classes", "gt_valid"):
+        out[k] = np.stack([r[k] for r in records])
+    out["image"] = out["image"].astype(np.float32)
+    out["image_id"] = [r["image_id"] for r in records]
+    out["scale"] = np.asarray([r["scale"] for r in records], np.float32)
+    out["orig_hw"] = np.stack([r["orig_hw"] for r in records])
+    return out
+
+
+class _InfiniteSampler:
+    """Shuffled infinite stream over dataset indices (TrainingSampler analog)."""
+
+    def __init__(self, n: int, seed: int):
+        self.n = n
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+
+    def __iter__(self) -> Iterator[int]:
+        while True:
+            for i in self.rng.permutation(self.n):
+                yield int(i)
+
+
+class SemiSupLoader:
+    """Joint labeled+unlabeled iterator with aspect bucketing.
+
+    Yields dicts {"label": batch, "unlabel": batch} where each batch is the
+    _stack() output. Per-rank batch sizes are (total / world_size), asserting
+    divisibility like the reference (``pt/data/build.py:173-187``).
+    """
+
+    def __init__(self, cfg, label_dicts: List[dict], unlabel_dicts: List[dict],
+                 seed: int = 0, world_size: int = 1, prefetch: int = 2):
+        for total in (cfg.SOLVER.IMG_PER_BATCH_LABEL, cfg.SOLVER.IMG_PER_BATCH_UNLABEL):
+            assert total % world_size == 0, (
+                f"Batch size {total} not divisible by world size {world_size}"
+            )
+        self.bs_label = cfg.SOLVER.IMG_PER_BATCH_LABEL // world_size
+        self.bs_unlabel = cfg.SOLVER.IMG_PER_BATCH_UNLABEL // world_size
+        if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
+            label_dicts = [d for d in label_dicts if d.get("annotations")]
+        assert label_dicts, "labeled dataset is empty"
+        assert unlabel_dicts, "unlabeled dataset is empty"
+        self.label_dicts = label_dicts
+        self.unlabel_dicts = unlabel_dicts
+        self.mapper = Mapper(cfg, is_train=True)
+        self.rng = np.random.Generator(np.random.PCG64(seed + 1))
+        self.label_iter = iter(_InfiniteSampler(len(label_dicts), seed + 2))
+        self.unlabel_iter = iter(_InfiniteSampler(len(unlabel_dicts), seed + 3))
+        self.prefetch = prefetch
+        self._q: Optional[queue.Queue] = None
+
+    def _produce_one(self) -> Dict[str, Dict[str, np.ndarray]]:
+        label_buckets: Dict[int, list] = {0: [], 1: []}
+        unlabel_buckets: Dict[int, list] = {0: [], 1: []}
+        while True:
+            if any(len(label_buckets[b]) >= self.bs_label
+                   and len(unlabel_buckets[b]) >= self.bs_unlabel for b in (0, 1)):
+                b = 0 if (len(label_buckets[0]) >= self.bs_label
+                          and len(unlabel_buckets[0]) >= self.bs_unlabel) else 1
+                lb = label_buckets[b][: self.bs_label]
+                ub = unlabel_buckets[b][: self.bs_unlabel]
+                return {"label": _stack(lb), "unlabel": _stack(ub)}
+            if min(len(label_buckets[0]), len(label_buckets[1])) < self.bs_label * 4:
+                rec = self.mapper(self.label_dicts[next(self.label_iter)], self.rng)
+                label_buckets[rec["bucket"]].append(rec)
+            rec = self.mapper(self.unlabel_dicts[next(self.unlabel_iter)], self.rng)
+            unlabel_buckets[rec["bucket"]].append(rec)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            while True:
+                q.put(self._produce_one())
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            yield q.get()
+
+
+class TestLoader:
+    """Sequential eval loader: per-image padded batches (batch size 1, like the
+    reference's InferenceSampler path, ``pt/data/build.py:77-103``)."""
+
+    def __init__(self, cfg, dicts: List[dict]):
+        self.dicts = dicts
+        self.mapper = Mapper(cfg, is_train=False)
+        self.rng = np.random.Generator(np.random.PCG64(0))
+
+    def __len__(self):
+        return len(self.dicts)
+
+    def __iter__(self):
+        for d in self.dicts:
+            yield _stack([self.mapper(d, self.rng)])

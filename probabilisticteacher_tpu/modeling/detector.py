@@ -179,10 +179,22 @@ class PTDetector:
 
     # ------------------------------------------------------------ primitives
     def preprocess(self, images: ImageBatch) -> jnp.ndarray:
-        """Normalize raw pixels (Caffe-BGR mean/std), keep NHWC."""
+        """Normalize raw pixels (Caffe-BGR mean/std), zero the padding, keep NHWC.
+
+        detectron2 normalizes then pads with 0 (``ImageList.from_tensors``); with a
+        pre-padded static canvas the equivalent is masking beyond image_hw after
+        normalization.
+        """
         mean = jnp.asarray(self.arch.pixel_mean, jnp.float32)
         std = jnp.asarray(self.arch.pixel_std, jnp.float32)
-        return (images.image.astype(jnp.float32) - mean) / std
+        x = (images.image.astype(jnp.float32) - mean) / std
+        _, h, w, _ = x.shape
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        valid = (ys < images.image_hw[:, 0][:, None, None]) & (
+            xs < images.image_hw[:, 1][:, None, None]
+        )
+        return x * valid[..., None]
 
     def features(self, params, images: ImageBatch) -> jnp.ndarray:
         x = self.preprocess(images)
