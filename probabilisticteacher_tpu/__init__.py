@@ -1,10 +1,11 @@
-"""probabilisticteacher_tpu: TPU-native Probabilistic Teacher (DAOD) framework.
+"""probabilisticteacher_tpu: TPU-native Probabilistic Teacher framework.
 
-A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
-hikvision-research/ProbabilisticTeacher (ICML 2022). See SURVEY.md for the reference
-analysis and DESIGN.md for the TPU-native architecture.
+A from-scratch JAX/XLA re-design of hikvision-research/ProbabilisticTeacher
+(ICML 2022) for domain-adaptive object detection on TPU. See SURVEY.md for the
+reference analysis and DESIGN.md for the architecture decisions.
 """
 
-__version__ = "0.1.0"
+from . import ops  # noqa: F401
+from .config import CfgNode, add_config, get_cfg  # noqa: F401
 
-from .config import CfgNode, get_cfg, add_config  # noqa: F401
+__version__ = "0.1.0"

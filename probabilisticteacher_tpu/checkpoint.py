@@ -1,0 +1,120 @@
+"""Checkpointing: teacher+student ensemble in one file, resume, Caffe VGG import.
+
+Parity targets:
+- ``DetectionTSCheckpointer`` over ``EnsembleTSModel`` — one checkpoint holds
+  modelTeacher + modelStudent + optimizer + scheduler + iteration
+  (``pt/checkpoint/detection_checkpoint.py:24-103``, ``pt/engine/trainer.py:104-111``);
+- ``last_checkpoint`` marker file + ``--resume`` semantics (``trainer.py:466-496``);
+- the student-only pretrained import path (Caffe VGG16, ``vgg.py:127-152``) lives in
+  :func:`load_vgg_caffe` below.
+
+Storage is orbax (the JAX-native checkpoint library).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(output_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"model_{step:07d}")
+
+
+def save_checkpoint(output_dir: str, state, keep: int = 100) -> str:
+    """Save TrainState at its current step; update the last_checkpoint marker."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step)
+    path = _ckpt_dir(output_dir, step)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    with open(os.path.join(output_dir, "last_checkpoint"), "w") as f:
+        f.write(os.path.basename(path))
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    marker = os.path.join(output_dir, "last_checkpoint")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        name = f.read().strip()
+    path = os.path.join(output_dir, name)
+    return path if os.path.exists(path) else None
+
+def load_checkpoint(path: str, state):
+    """Restore a TrainState saved by save_checkpoint (full resume)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path, item=jax.device_get(state._asdict()))
+    return type(state)(**{k: restored[k] for k in state._asdict()})
+
+
+def load_weights(path: str, state, student_only: bool = False):
+    """Load model weights only (the resume=False path, ``trainer.py:483-486``)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path)
+    new = state._replace(student=_cast_like(restored["student"], state.student))
+    if not student_only and "teacher" in restored:
+        new = new._replace(teacher=_cast_like(restored["teacher"], state.teacher))
+    return new
+
+
+def _cast_like(loaded, reference):
+    import jax.numpy as jnp
+
+    flat_ref, treedef = jax.tree.flatten(reference)
+    flat_new = treedef.flatten_up_to(loaded)
+    return jax.tree.unflatten(
+        treedef, [jnp.asarray(n, dtype=r.dtype) for n, r in zip(flat_new, flat_ref)]
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Caffe VGG16 pretrained import (reference ``vgg.py:127-152``)
+# --------------------------------------------------------------------------- #
+# torchvision features.* index -> (our block, conv) for VGG16
+_VGG16_TORCH_LAYOUT = [
+    (0, "block1_conv1"), (2, "block1_conv2"),
+    (5, "block2_conv1"), (7, "block2_conv2"),
+    (10, "block3_conv1"), (12, "block3_conv2"), (14, "block3_conv3"),
+    (17, "block4_conv1"), (19, "block4_conv2"), (21, "block4_conv3"),
+    (24, "block5_conv1"), (26, "block5_conv2"), (28, "block5_conv3"),
+]
+
+
+def load_vgg_caffe(params: Any, path: str) -> Any:
+    """Load vgg16_caffe weights (.pth via torch, or .npz) into params["backbone"].
+
+    The Caffe model expects BGR 0-255 input with mean subtraction — exactly our
+    preprocessing (``Arch.pixel_mean``). Conv kernels are transposed OIHW -> HWIO.
+    Returns a new param tree; raises FileNotFoundError if the file is absent.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if path.endswith(".npz"):
+        raw = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        raw = {k: v.numpy() for k, v in sd.items()}
+
+    bb = dict(params["backbone"])
+    for idx, name in _VGG16_TORCH_LAYOUT:
+        wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
+        if wk not in raw:
+            raise KeyError(f"{wk} missing from {path}")
+        w = raw[wk].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        assert bb[name]["kernel"].shape == w.shape, (name, bb[name]["kernel"].shape, w.shape)
+        bb[name] = {"kernel": w.astype(np.float32), "bias": raw[bk].astype(np.float32)}
+    out = dict(params)
+    out["backbone"] = bb
+    return out

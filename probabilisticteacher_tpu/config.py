@@ -106,8 +106,15 @@ class CfgNode(dict):
 
 
 def _coerce(value: Any, old: Any) -> Any:
-    """Light type coercion so YAML/CLI strings match existing defaults."""
-    if isinstance(value, list):
+    """Type coercion matching yacs ``_decode_cfg_value``: strings that parse as
+    Python literals (e.g. YAML "(30000,)" tuples) are literal_eval'd; ints merge
+    onto float defaults as floats."""
+    if isinstance(value, str):
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(value, (list, tuple)):
         return tuple(_coerce(v, None) for v in value)
     if old is not None and isinstance(old, float) and isinstance(value, int):
         return float(value)

@@ -213,7 +213,7 @@ class SemiSupLoader:
             yield q.get()
 
 
-class TestLoader:
+class EvalLoader:
     """Sequential eval loader: per-image padded batches (batch size 1, like the
     reference's InferenceSampler path, ``pt/data/build.py:77-103``)."""
 
@@ -228,3 +228,8 @@ class TestLoader:
     def __iter__(self):
         for d in self.dicts:
             yield _stack([self.mapper(d, self.rng)])
+
+
+# pytest-friendly alias (API name parity with build_detection_test_loader)
+TestLoader = EvalLoader
+TestLoader.__test__ = False

@@ -1,0 +1,199 @@
+"""PTrainer: the training engine (burn-in -> mutual learning), hooks, eval, ckpt.
+
+Re-architecture of the reference ``PTrainer`` (``pt/engine/trainer.py:67-603``):
+the per-iteration work is two fused jitted steps (engine/steps.py) instead of four
+model forwards + host EMA; the surrounding engine keeps behavioral parity:
+
+- burn-in until UNSUPNET.BURN_UP_STEP, then mutual learning (``run_step``);
+- teacher copy at the boundary, EMA 0.9996 after (inside the mutual step);
+- periodic console/JSON writers (every 20), checkpoints (CHECKPOINT_PERIOD, holding
+  teacher+student+optimizer+step like EnsembleTSModel), eval of BOTH student and
+  teacher every TEST.EVAL_PERIOD (``build_hooks``, ``trainer.py:498-547``);
+- ``resume_or_load`` with a last_checkpoint marker (``trainer.py:466-496``);
+- config dump into OUTPUT_DIR for provenance (``train_net.py:54-55``).
+
+Data parallelism: one jax Mesh over all devices; the GLOBAL batch is sharded on the
+'data' axis (equivalent to the reference's per-rank batch = total / world_size,
+``pt/data/build.py:173-187``); params/opt replicated; XLA inserts the grad psum.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint import (latest_checkpoint, load_checkpoint, load_vgg_caffe,
+                          load_weights, save_checkpoint)
+from ..data.datasets import DatasetCatalog, register_builtin
+from ..data.loader import SemiSupLoader, TestLoader
+from ..evaluation import evaluate_detections
+from ..events import ConsoleWriter, EventStorage, JSONWriter, TensorboardWriter
+from ..modeling.detector import Arch, PTDetector
+from ..parallel import make_mesh, replicate, shard_batch
+from ..solver import build_optimizer
+from ..structures import GroundTruth, ImageBatch
+from .steps import TrainState, create_train_state, make_train_steps
+
+logger = logging.getLogger("probabilisticteacher_tpu")
+
+
+class PTrainer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        if cfg.MODEL.DEVICE == "cpu":
+            # explicit CPU request (tests/smoke runs); must precede backend init
+            jax.config.update("jax_platforms", "cpu")
+        register_builtin()
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+
+        self.arch = Arch.from_cfg(cfg)
+        self.detector = PTDetector(self.arch)
+        self.tx = None
+        # the data axis must divide both per-stream batch sizes (reference
+        # divisibility check, pt/data/build.py:173-187)
+        import math
+
+        n_use = math.gcd(
+            math.gcd(int(cfg.SOLVER.IMG_PER_BATCH_LABEL), int(cfg.SOLVER.IMG_PER_BATCH_UNLABEL)),
+            len(jax.devices()),
+        )
+        self.mesh = make_mesh(jax.devices()[:n_use])
+        if n_use != len(jax.devices()):
+            logger.info(f"Using {n_use}/{len(jax.devices())} devices (batch divisibility)")
+        canvas = tuple(cfg.INPUT.CANVAS.WIDE)
+
+        params = self.detector.init(jax.random.key(max(cfg.SEED, 0)), canvas)
+        pretrain = cfg.MODEL.VGG.PRETRAIN
+        if pretrain and os.path.exists(pretrain):
+            params = load_vgg_caffe(params, pretrain)
+            logger.info(f"Loaded Caffe VGG pretrained weights from {pretrain}")
+        elif pretrain:
+            logger.warning(f"Pretrained backbone {pretrain} not found; training from scratch")
+
+        self.tx = build_optimizer(cfg, params)
+        teacher = jax.tree.map(np.copy, params)
+        import jax.numpy as jnp
+        import optax  # noqa: F401
+
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            student=params,
+            teacher=teacher,
+            opt_state=self.tx.init(params),
+        )
+        self.state = replicate(self.mesh, self.state)
+        self.burnin_step, self.mutual_step = make_train_steps(cfg, self.detector, self.tx)
+
+        self.start_iter = 0
+        self.max_iter = int(cfg.SOLVER.MAX_ITER)
+        self.burn_up = int(cfg.UNSUPNET.BURN_UP_STEP)
+        self.storage = EventStorage()
+        self.writers = [
+            ConsoleWriter(self.max_iter),
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            TensorboardWriter(cfg.OUTPUT_DIR),
+        ]
+        self.write_period = 20
+        self._base_rng = jax.random.key(max(cfg.SEED, 0) + 17)
+        self._loader: Optional[SemiSupLoader] = None
+
+    # ------------------------------------------------------------------ data
+    def build_train_loader(self) -> SemiSupLoader:
+        label_dicts, unlabel_dicts = [], []
+        for name in self.cfg.DATASETS.TRAIN_LABEL:
+            label_dicts.extend(DatasetCatalog.get(name))
+        for name in self.cfg.DATASETS.TRAIN_UNLABEL:
+            unlabel_dicts.extend(DatasetCatalog.get(name))
+        return SemiSupLoader(self.cfg, label_dicts, unlabel_dicts,
+                             seed=max(self.cfg.SEED, 0))
+
+    # --------------------------------------------------------------- restore
+    def resume_or_load(self, resume: bool = False):
+        if resume:
+            path = latest_checkpoint(self.cfg.OUTPUT_DIR)
+            if path:
+                self.state = load_checkpoint(path, self.state)
+                self.state = replicate(self.mesh, self.state)
+                self.start_iter = int(self.state.step)
+                logger.info(f"Resumed from {path} at iter {self.start_iter}")
+                return
+        weights = self.cfg.MODEL.WEIGHTS
+        if weights and os.path.exists(weights):
+            self.state = load_weights(weights, self.state)
+            self.state = replicate(self.mesh, self.state)
+            logger.info(f"Loaded weights from {weights}")
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        loader_iter = iter(self.build_train_loader())
+        eval_period = int(self.cfg.TEST.EVAL_PERIOD)
+        ckpt_period = int(self.cfg.SOLVER.CHECKPOINT_PERIOD)
+        pending = None  # metrics of the previous step (read after dispatching next)
+
+        for it in range(self.start_iter, self.max_iter):
+            t0 = time.perf_counter()
+            batch = next(loader_iter)
+            data_time = time.perf_counter() - t0
+
+            limg = ImageBatch(batch["label"]["image"], batch["label"]["image_hw"])
+            lgt = GroundTruth(batch["label"]["gt_boxes"],
+                              batch["label"]["gt_classes"].astype(np.int32),
+                              batch["label"]["gt_valid"])
+            limg = shard_batch(self.mesh, limg)
+            lgt = shard_batch(self.mesh, lgt)
+
+            if it < self.burn_up:
+                self.state, metrics = self.burnin_step(self.state, limg, lgt, self._base_rng)
+            else:
+                uimg = ImageBatch(batch["unlabel"]["image"], batch["unlabel"]["image_hw"])
+                uimg = shard_batch(self.mesh, uimg)
+                self.state, metrics = self.mutual_step(self.state, limg, lgt, uimg, self._base_rng)
+
+            self.storage.iter = it
+            if pending is not None and (it % self.write_period == 0 or it == self.max_iter - 1):
+                host = {k: float(v) for k, v in pending.items()}
+                host["data_time"] = data_time
+                self.storage.put_scalars(**host)
+                for w in self.writers:
+                    w.write(self.storage)
+            pending = metrics
+
+            nxt = it + 1
+            if ckpt_period and nxt % ckpt_period == 0:
+                save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
+                logger.info(f"Checkpoint saved at iter {nxt}")
+            if eval_period and nxt % eval_period == 0:
+                self.eval_and_log(suffix="_student", params=self.state.student)
+                self.eval_and_log(suffix="_teacher", params=self.state.teacher)
+
+        save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
+        return self.test(self.state.teacher)
+
+    # ------------------------------------------------------------------- eval
+    def eval_and_log(self, suffix: str, params) -> Dict[str, float]:
+        results = self.test(params)
+        self.storage.put_scalars(**{k + suffix: v for k, v in results.items()})
+        logger.info(f"eval{suffix}: {results}")
+        return results
+
+    def test(self, params, max_images: int = 0) -> Dict[str, float]:
+        style = "voc" if self.cfg.TEST.EVALUATOR == "VOCeval" else "coco"
+        out = {}
+        for name in self.cfg.DATASETS.TEST:
+            dicts = DatasetCatalog.get(name)
+            class_names = DatasetCatalog.class_names(name) or [
+                str(i) for i in range(self.arch.num_classes)
+            ]
+            loader = TestLoader(self.cfg, dicts)
+            res = evaluate_detections(self.detector, params, loader, class_names,
+                                      style=style, max_images=max_images,
+                                      gt_dicts=None if max_images else dicts)
+            out.update(res)
+        return out

@@ -92,6 +92,7 @@ class Arch:
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     compute_dtype: str = "float32"
+    roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather"
 
     @staticmethod
     def from_cfg(cfg) -> "Arch":
@@ -212,7 +213,7 @@ class PTDetector:
         a = self.arch
         pooled = roi_align_batched(
             feat.astype(jnp.float32), boxes, 1.0 / a.stride,
-            a.pooler_resolution, a.pooler_sampling_ratio,
+            a.pooler_resolution, a.pooler_sampling_ratio, impl=a.roi_align_impl,
         )
         x = self.box_head.apply({"params": params["box_head"]}, pooled)
         return self.predictor.apply({"params": params["predictor"]}, x)

@@ -81,13 +81,92 @@ def roi_align(
         )
         return jnp.where(oob[..., None], 0.0, val)
 
-    # (R, p, s) x (R, p, s) -> samples (R, p, s, p, s, C)
-    vals = bilinear(
-        ys[:, :, :, None, None].repeat(p, 3).repeat(s, 4),
-        xs[:, None, None, :, :].repeat(p, 1).repeat(s, 2),
-    )
-    out = vals.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
-    return out
+    # Accumulate over the s*s sample offsets (static unroll) so the peak
+    # intermediate is (R, p, p, C) instead of (R, p, s, p, s, C) — an s^2 memory
+    # saving that XLA cannot do on the materialized-samples formulation.
+    acc = jnp.zeros((r, p, p, c), jnp.float32)
+    for sy in range(s):
+        for sx in range(s):
+            yy = ys[:, :, sy][:, :, None]                      # (R, p, 1)
+            xx = xs[:, :, sx][:, None, :]                      # (R, 1, p)
+            acc = acc + bilinear(
+                jnp.broadcast_to(yy, (r, p, p)),
+                jnp.broadcast_to(xx, (r, p, p)),
+            )
+    return acc / (s * s)
+
+
+def _sample_points(boxes, p, s):
+    """Per-ROI bilinear sample coordinates: (R, p*s) for y and x (aligned=True)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    grid_p = jnp.arange(p, dtype=jnp.float32)
+    grid_s = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    off = (grid_p[:, None] + grid_s[None, :]).reshape(-1)  # (p*s,)
+    ys = y1[:, None] + off[None] * ((y2 - y1) / p)[:, None]
+    xs = x1[:, None] + off[None] * ((x2 - x1) / p)[:, None]
+    return ys, xs
+
+
+def _interp_matrix(points: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear interpolation weights as a dense matrix: (R, K, size).
+
+    W[r, k, i] = weight of source row i for sample k; exactly the 2-tap bilinear
+    weights of the gather formulation (clip to [0, size-1], zero outside
+    [-1, size]).
+    """
+    oob = (points < -1.0) | (points > size)
+    v = jnp.clip(points, 0.0, size - 1)
+    i0 = jnp.floor(v).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    l = v - i0.astype(v.dtype)
+    h = 1.0 - l
+    ar = jnp.arange(size, dtype=jnp.int32)
+    w0 = jnp.where(oob, 0.0, h)[..., None] * (i0[..., None] == ar)
+    w1 = jnp.where(oob, 0.0, l)[..., None] * (i1[..., None] == ar)
+    return w0 + w1  # (R, K, size)
+
+
+def roi_align_mxu(
+    features: jnp.ndarray,  # (H, W, C)
+    boxes: jnp.ndarray,     # (R, 4)
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign as dense interpolation matmuls — the TPU-native formulation.
+
+    Bilinear sampling is a 2-tap linear map per axis, so ROIAlign factorizes into
+    two small matrix products with per-ROI interpolation matrices Wy (R, p*s, H)
+    and Wx (R, p*s, W):
+
+        out[r] = avgpool_sxs( Wy[r] @ F @ Wx[r]^T )   (per channel)
+
+    This rides the MXU instead of issuing ~p*s*p*s*4 gathers per ROI — gathers are
+    the weak spot of the TPU memory system, dense f32/bf16 matmuls its strong one.
+    Numerically identical to :func:`roi_align` (parity-tested).
+    """
+    h, w, c = features.shape
+    r = boxes.shape[0]
+    p, s = output_size, max(sampling_ratio, 1)
+    scaled = boxes * spatial_scale - 0.5
+    ys, xs = _sample_points(scaled, p, s)          # (R, p*s)
+    wy = _interp_matrix(ys, h)                     # (R, p*s, H)
+    wx = _interp_matrix(xs, w)                     # (R, p*s, W)
+
+    fm = features.reshape(h, w * c)
+    ps = p * s
+
+    # unrolled over the p*s sample rows grouped per output row to bound the
+    # intermediate at (R, s, W, C) per group
+    out_rows = []
+    for k in range(p):
+        wy_k = wy[:, k * s:(k + 1) * s, :]                       # (R, s, H)
+        tmp = wy_k.reshape(r * s, h) @ fm                        # (R*s, W*C)
+        tmp = tmp.reshape(r, s, w, c)
+        # contract x: (R, p*s, W) x (R, s, W, C) -> (R, p*s, s, C)
+        row = jnp.einsum("rkw,rswc->rksc", wx, tmp)              # (R, ps, s, C)
+        out_rows.append(row.reshape(r, p, s, s, c).mean(axis=(2, 3)))  # (R, p, C)
+    return jnp.stack(out_rows, axis=1)  # (R, p, p, C)
 
 
 def roi_align_batched(
@@ -96,10 +175,11 @@ def roi_align_batched(
     spatial_scale: float,
     output_size: int = 7,
     sampling_ratio: int = 2,
+    impl: str = "mxu",
 ) -> jnp.ndarray:
-    """vmapped ROIAlign -> (N, R, p, p, C)."""
+    """vmapped ROIAlign -> (N, R, p, p, C). impl: "mxu" (default) or "gather"."""
     fn = partial(
-        roi_align,
+        roi_align_mxu if impl == "mxu" else roi_align,
         spatial_scale=spatial_scale,
         output_size=output_size,
         sampling_ratio=sampling_ratio,

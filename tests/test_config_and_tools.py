@@ -1,0 +1,122 @@
+"""Config-system parity + offline tool tests."""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from probabilisticteacher_tpu.config import get_cfg
+
+
+def test_yaml_merge_parity():
+    """YAML files in the reference schema (tuples-as-strings, _BASE_) load exactly."""
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs/pt/final_c2f.yaml"))
+    assert cfg.SOLVER.STEPS == (30000,)
+    assert cfg.SOLVER.MAX_ITER == 30000
+    assert cfg.SOLVER.BASE_LR == 0.016
+    assert cfg.UNSUPNET.TAU == (0.25, 0.25)
+    assert cfg.UNSUPNET.EMA_KEEP_RATE == 0.9996
+    assert cfg.DATASETS.TRAIN_LABEL == ("VOC2007_citytrain",)
+    assert cfg.MODEL.ANCHOR_GENERATOR.SIZES == ((128, 256, 512),)
+    # base file inherited via _BASE_
+    assert cfg.MODEL.VGG.DEPTH == 16
+    assert cfg.MODEL.RPN.POSITIVE_FRACTION == 0.25
+
+
+def test_cli_overrides_and_freeze():
+    cfg = get_cfg()
+    cfg.merge_from_list([
+        "MODEL.ANCHOR_GENERATOR.NAME", "DifferentiableAnchorGenerator",
+        "UNSUPNET.TAU", "[0.5,0.5]",
+        "SOLVER.BASE_LR", "0.02",
+        "NEW.NESTED.KEY", "3",
+    ])
+    assert cfg.MODEL.ANCHOR_GENERATOR.NAME == "DifferentiableAnchorGenerator"
+    assert cfg.UNSUPNET.TAU == (0.5, 0.5)
+    assert cfg.SOLVER.BASE_LR == 0.02
+    assert cfg.NEW.NESTED.KEY == 3
+    cfg.freeze()
+    try:
+        cfg.SOLVER.BASE_LR = 1.0
+        raise AssertionError("frozen cfg accepted a write")
+    except AttributeError:
+        pass
+    clone = cfg.clone().defrost()
+    clone.SOLVER.BASE_LR = 1.0  # clone is independent
+
+
+def test_arch_from_c2f_matches_reference_recipe():
+    from probabilisticteacher_tpu.modeling.detector import Arch
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs/pt/final_c2f.yaml"))
+    arch = Arch.from_cfg(cfg)
+    assert arch.num_classes == 8
+    assert arch.stride == 16
+    assert arch.rpn_pre_nms_topk == (6000, 12000)
+    assert arch.rpn_post_nms_topk == (1000, 2000)
+    assert arch.rpn_pos_fraction == 0.25
+    assert arch.roi_batch_per_image == 512
+    assert arch.tau == (0.25, 0.25)
+    assert arch.efl and arch.efl_lambda == (0.5, 0.5)
+    assert not arch.learnable_anchors
+
+
+def test_cityscapes_converter(tmp_path):
+    import cityscapes_to_voc as tool
+
+    gtfine = tmp_path / "gtFine" / "cityA"
+    gtfine.mkdir(parents=True)
+    data = {
+        "imgHeight": 100, "imgWidth": 200,
+        "objects": [
+            {"label": "car", "polygon": [[10, 20], [50, 20], [50, 60], [10, 60]]},
+            {"label": "cargroup", "polygon": [[0, 0], [30, 0], [30, 30]]},
+            {"label": "sky", "polygon": [[0, 0], [200, 0], [200, 10]]},
+            {"label": "person", "polygon": [[190, 90], [210, 90], [210, 120]]},
+        ],
+    }
+    (gtfine / "cityA_000001_gtFine_polygons.json").write_text(json.dumps(data))
+    out = tmp_path / "Annotations"
+    tool.main(["convert", "--gtfine", str(tmp_path / "gtFine"), "--out", str(out)])
+    files = list(out.glob("*.xml"))
+    assert len(files) == 1 and files[0].name == "cityA_000001_leftImg8bit.xml"
+
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(files[0]).getroot()
+    names = [o.find("name").text for o in root.findall("object")]
+    assert names == ["car", "car", "person"]  # sky skipped; cargroup -> car
+    bb = root.findall("object")[0].find("bndbox")
+    assert [bb.find(t).text for t in ("xmin", "ymin", "xmax", "ymax")] == ["11", "21", "51", "61"]
+
+    # txt generation (non-empty only)
+    voc = tmp_path
+    tool.main(["make-txt", "--path", str(voc), "--split", "train"])
+    txt = (voc / "ImageSets" / "Main" / "train.txt").read_text().strip().split()
+    assert txt == ["cityA_000001_leftImg8bit"]
+
+
+def test_foggy_triplication(tmp_path):
+    import cityscapes_to_voc as tool
+    import xml.etree.ElementTree as ET
+
+    ann = tmp_path / "Annotations"
+    ann.mkdir(parents=True)
+    root = ET.Element("annotation")
+    o = ET.SubElement(root, "object")
+    ET.SubElement(o, "name").text = "car"
+    ET.ElementTree(root).write(ann / "x_000001_leftImg8bit.xml")
+    tool.main(["make-foggy-txt", "--path", str(tmp_path), "--split", "val"])
+    names = sorted(p.name for p in ann.glob("*.xml"))
+    assert names == [
+        "x_000001_leftImg8bit_foggy_beta_0.005.xml",
+        "x_000001_leftImg8bit_foggy_beta_0.01.xml",
+        "x_000001_leftImg8bit_foggy_beta_0.02.xml",
+    ]
+    txt = (tmp_path / "ImageSets" / "Main" / "val.txt").read_text().strip().split()
+    assert len(txt) == 3

@@ -1,0 +1,126 @@
+"""End-to-end smoke tests: data pipeline, trainer loop (burn-in + mutual), CLI, eval.
+
+This is the SURVEY.md section 4 "smoke run on a synthetic 2-image VOC dataset"
+strategy, exercising the full stack the way train.sh does, at micro scale.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from probabilisticteacher_tpu.config import get_cfg
+from probabilisticteacher_tpu.data.datasets import (DatasetCatalog,
+                                                    load_voc_instances,
+                                                    register_pascal_voc)
+from probabilisticteacher_tpu.data.loader import SemiSupLoader, TestLoader
+
+from synthetic_data import CLASSES, make_voc_dataset
+
+
+def micro_cfg(tmp, label_name, unlabel_name, test_name):
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = os.path.join(tmp, "output")
+    cfg.MODEL.VGG.DEPTH = 11
+    cfg.MODEL.VGG.PRETRAIN = ""
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.UNSUPNET.UNSUP_ROI_BUDGET = 8
+    cfg.UNSUPNET.BURN_UP_STEP = 2
+    cfg.UNSUPNET.EMA_KEEP_RATE = 0.5
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 2
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 2
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.SOLVER.CHECKPOINT_PERIOD = 4
+    cfg.SOLVER.AMP.ENABLED = False
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.EVALUATOR = "VOCeval"
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.INPUT.CANVAS.WIDE = (48, 96)
+    cfg.INPUT.CANVAS.TALL = (96, 48)
+    cfg.INPUT.MAX_GT = 8
+    cfg.DATASETS.TRAIN_LABEL = (label_name,)
+    cfg.DATASETS.TRAIN_UNLABEL = (unlabel_name,)
+    cfg.DATASETS.TEST = (test_name,)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def voc_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc"))
+    make_voc_dataset(os.path.join(root, "src"), "train", num_images=4, seed=0)
+    make_voc_dataset(os.path.join(root, "tgt"), "train", num_images=4, seed=1)
+    make_voc_dataset(os.path.join(root, "val"), "val", num_images=2, seed=2)
+    return root
+
+
+def test_voc_parser(voc_tree):
+    dicts = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)
+    assert len(dicts) == 4
+    d = dicts[0]
+    assert os.path.exists(d["file_name"])
+    assert d["height"] == 80 and d["width"] == 120
+    assert len(d["annotations"]) == 3
+    for a in d["annotations"]:
+        x1, y1, x2, y2 = a["bbox"]
+        assert 0 <= x1 < x2 <= 120 and 0 <= y1 < y2 <= 80
+        assert 0 <= a["category_id"] < 8
+
+
+def test_semisup_loader(voc_tree):
+    cfg = micro_cfg(voc_tree, "l", "u", "v")
+    label = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)
+    unlabel = load_voc_instances(os.path.join(voc_tree, "tgt"), "train", CLASSES)
+    loader = SemiSupLoader(cfg, label, unlabel, seed=0)
+    batch = next(iter(loader))
+    li, ui = batch["label"], batch["unlabel"]
+    assert li["image"].shape == (2, 48, 96, 3)
+    assert ui["image"].shape == (2, 48, 96, 3)
+    assert li["gt_boxes"].shape == (2, 8, 4)
+    assert li["gt_valid"].any()
+    # boxes inside the valid region
+    for i in range(2):
+        hw = li["image_hw"][i]
+        v = li["gt_valid"][i]
+        assert (li["gt_boxes"][i][v][:, 2] <= hw[1] + 1e-5).all()
+        assert (li["gt_boxes"][i][v][:, 3] <= hw[0] + 1e-5).all()
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(voc_tree, tmp_path):
+    """Full loop: 2 burn-in + 2 mutual steps, checkpoint, eval, resume."""
+    name = "synttrain_e2e"
+    register_pascal_voc(name + "_l", os.path.join(voc_tree, "src"), "train", CLASSES)
+    register_pascal_voc(name + "_u", os.path.join(voc_tree, "tgt"), "train", CLASSES)
+    register_pascal_voc(name + "_v", os.path.join(voc_tree, "val"), "val", CLASSES)
+    cfg = micro_cfg(str(tmp_path), name + "_l", name + "_u", name + "_v")
+    cfg.freeze()
+
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    trainer = PTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    results = trainer.train()
+    assert "mAP50" in results
+    assert np.isfinite(results["mAP50"])
+    assert int(trainer.state.step) == 4
+    # checkpoint written + marker
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "last_checkpoint"))
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+
+    # resume restores the step counter
+    trainer2 = PTrainer(cfg)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == 4

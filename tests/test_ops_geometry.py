@@ -233,3 +233,35 @@ class TestROIAlign:
         rois = jnp.asarray([[8.0, 8.0, 80.0, 80.0]])
         g = jax.grad(lambda f: jnp.sum(roi_align.roi_align(f, rois, 1.0 / 16, 7, 2)))(feat)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestROIAlignMXU:
+    def test_parity_with_gather(self):
+        rng = np.random.RandomState(5)
+        feat = rng.randn(12, 20, 16).astype(np.float32)
+        rois = np.array(
+            [[0.0, 0.0, 64.0, 64.0], [16.0, 8.0, 200.0, 120.0],
+             [5.0, 5.0, 6.0, 6.0], [-20.0, -20.0, 400.0, 300.0]], np.float32
+        )
+        for s in (1, 2):
+            a = roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, 7, s)
+            b = roi_align.roi_align_mxu(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, 7, s)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def test_mxu_grads_match_gather(self):
+        rng = np.random.RandomState(6)
+        feat = jnp.asarray(rng.randn(8, 10, 4).astype(np.float32))
+        rois = jnp.asarray([[0.0, 0.0, 80.0, 64.0], [16.0, 16.0, 120.0, 100.0]])
+        g1 = jax.grad(lambda f: jnp.sum(roi_align.roi_align(f, rois, 1.0 / 16, 7, 2)))(feat)
+        g2 = jax.grad(lambda f: jnp.sum(roi_align.roi_align_mxu(f, rois, 1.0 / 16, 7, 2)))(feat)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
+
+    def test_batched_both_impls(self):
+        rng = np.random.RandomState(7)
+        feat = jnp.asarray(rng.randn(2, 8, 12, 4).astype(np.float32))
+        rois = jnp.asarray(rng.uniform(0, 100, (2, 3, 4)).astype(np.float32))
+        rois = rois.at[..., 2:].set(rois[..., :2] + 50.0)
+        a = roi_align.roi_align_batched(feat, rois, 1.0 / 16, 7, 2, impl="gather")
+        b = roi_align.roi_align_batched(feat, rois, 1.0 / 16, 7, 2, impl="mxu")
+        assert a.shape == (2, 3, 7, 7, 4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

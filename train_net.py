@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Training entry point — CLI-compatible with the reference's train_net.py.
+
+Usage parity (``/root/reference/train_net.py:86-97``, ``train.sh:5-12``):
+
+    python train_net.py --config-file configs/pt/final_c2f.yaml \
+        [--resume] [--eval-only] [--num-gpus N] KEY VALUE [KEY VALUE ...]
+
+``--num-gpus`` is accepted for drop-in compatibility but parallelism is decided by
+the visible JAX devices (data-parallel mesh; see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def setup(args):
+    from probabilisticteacher_tpu.config import add_config, get_cfg
+
+    cfg = get_cfg()
+    add_config(cfg)
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] %(name)s %(levelname)s: %(message)s",
+        handlers=[
+            logging.StreamHandler(sys.stdout),
+            logging.FileHandler(os.path.join(cfg.OUTPUT_DIR, "log.txt")),
+        ],
+        force=True,
+    )
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    assert cfg.UNSUPNET.Trainer == "pt", f"Unknown trainer: {cfg.UNSUPNET.Trainer}"
+    trainer = PTrainer(cfg)
+
+    if args.eval_only:
+        trainer.resume_or_load(resume=args.resume)
+        res = trainer.test(trainer.state.student)
+        print(res)
+        return res
+
+    trainer.resume_or_load(resume=args.resume)
+    return trainer.train()
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Probabilistic Teacher (TPU-native)")
+    parser.add_argument("--config-file", "--config", default="", metavar="FILE")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--num-gpus", type=int, default=1,
+                        help="accepted for CLI parity; devices come from JAX")
+    parser.add_argument("--num-machines", type=int, default=1)
+    parser.add_argument("--machine-rank", type=int, default=0)
+    parser.add_argument("--dist-url", default="auto")
+    parser.add_argument("opts", default=[], nargs=argparse.REMAINDER)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())
