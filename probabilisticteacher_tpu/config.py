@@ -248,6 +248,8 @@ def get_cfg() -> CfgNode:
     c.DATALOADER.ASPECT_RATIO_GROUPING = True
     c.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
     c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+    # TPU-native addition: native C++ decode/resize path (csrc/ptloader.cpp)
+    c.DATALOADER.NATIVE = True
 
     # ----------------------------- SOLVER ----------------------------------
     c.SOLVER = CfgNode()
@@ -288,6 +290,12 @@ def get_cfg() -> CfgNode:
     c.TEST.PRECISE_BN = CfgNode()
     c.TEST.PRECISE_BN.ENABLED = False
     c.TEST.PRECISE_BN.NUM_ITER = 200
+
+    # --------------------------- PROFILER (TPU-native addition) -------------
+    c.PROFILER = CfgNode()
+    c.PROFILER.ENABLED = False
+    c.PROFILER.START_STEP = 10
+    c.PROFILER.NUM_STEPS = 5
 
     # ---------------------------- UNSUPNET ----------------------------------
     c.UNSUPNET = CfgNode()

@@ -70,7 +70,12 @@ def hflip(img: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 # sample -> padded canvas record
 # --------------------------------------------------------------------------- #
 class Mapper:
-    """Weak augmentation + canvas padding for one dataset dict."""
+    """Weak augmentation + canvas padding for one dataset dict.
+
+    Uses the native C++ loader (data/native.py: decode + PIL-parity resample +
+    flip + pad in one GIL-released call) when available and enabled
+    (``DATALOADER.NATIVE``); falls back to the PIL path otherwise.
+    """
 
     def __init__(self, cfg, is_train: bool = True):
         self.short_sizes = tuple(cfg.INPUT.MIN_SIZE_TRAIN) if is_train else (cfg.INPUT.MIN_SIZE_TEST,)
@@ -80,27 +85,60 @@ class Mapper:
         self.canvas_tall = tuple(cfg.INPUT.CANVAS.TALL)
         self.max_gt = cfg.INPUT.MAX_GT
         self.is_train = is_train
+        self.use_native = bool(cfg.DATALOADER.get("NATIVE", True))
+
+    def _load_native(self, record, short, flip):
+        from . import native
+
+        if not (self.use_native and native.available()):
+            return None
+        h0, w0 = record["height"], record["width"]
+        scale = short / min(h0, w0)
+        if max(h0, w0) * scale > self.max_size:
+            scale = self.max_size / max(h0, w0)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        bucket = 0 if nw > nh else 1
+        ch, cw = self.canvas_wide if bucket == 0 else self.canvas_tall
+        out = native.load_image(record["file_name"], short, self.max_size, flip, (ch, cw))
+        if out is None:
+            return None
+        canvas, hw, scale_out = out
+        return canvas, hw, scale_out, bucket, (nh, nw)
 
     def __call__(self, record: dict, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        img = read_image_bgr(record["file_name"])
         annos = record.get("annotations", [])
         boxes = np.asarray([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
         classes = np.asarray([a["category_id"] for a in annos], np.int64).reshape(-1)
 
         short = int(rng.choice(self.short_sizes))
-        img, boxes, scale = resize_shortest_edge(img, boxes, short, self.max_size)
-        if self.do_flip and rng.random() < 0.5:
-            img, boxes = hflip(img, boxes)
+        flip = bool(self.do_flip and rng.random() < 0.5)
 
-        h, w = img.shape[:2]
-        bucket = 0 if w > h else 1
-        ch, cw = self.canvas_wide if bucket == 0 else self.canvas_tall
-        # safety crop for canvases tighter than the resize budget
-        img = img[:ch, :cw]
-        h, w = img.shape[:2]
+        nat = self._load_native(record, short, flip)
+        if nat is not None:
+            canvas, hwf, scale, bucket, (nh, nw) = nat
+            h, w = int(hwf[0]), int(hwf[1])
+            if boxes.size:
+                h0, w0 = record["height"], record["width"]
+                boxes = boxes * np.array([nw / w0, nh / h0, nw / w0, nh / h0], np.float32)
+                if flip:
+                    x1 = boxes[:, 0].copy()
+                    boxes[:, 0] = nw - boxes[:, 2]
+                    boxes[:, 2] = nw - x1
+        else:
+            img = read_image_bgr(record["file_name"])
+            img, boxes, scale = resize_shortest_edge(img, boxes, short, self.max_size)
+            if flip:
+                img, boxes = hflip(img, boxes)
 
-        canvas = np.zeros((ch, cw, 3), np.uint8)
-        canvas[:h, :w] = img
+            h, w = img.shape[:2]
+            bucket = 0 if w > h else 1
+            ch, cw = self.canvas_wide if bucket == 0 else self.canvas_tall
+            # safety crop for canvases tighter than the resize budget
+            img = img[:ch, :cw]
+            h, w = img.shape[:2]
+
+            canvas = np.zeros((ch, cw, 3), np.uint8)
+            canvas[:h, :w] = img
 
         g = self.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)

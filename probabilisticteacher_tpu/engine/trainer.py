@@ -137,7 +137,10 @@ class PTrainer:
         ckpt_period = int(self.cfg.SOLVER.CHECKPOINT_PERIOD)
         pending = None  # metrics of the previous step (read after dispatching next)
 
+        prof = self.cfg.PROFILER
         for it in range(self.start_iter, self.max_iter):
+            if prof.ENABLED and it == prof.START_STEP:
+                jax.profiler.start_trace(os.path.join(self.cfg.OUTPUT_DIR, "profile"))
             t0 = time.perf_counter()
             batch = next(loader_iter)
             data_time = time.perf_counter() - t0
@@ -164,6 +167,11 @@ class PTrainer:
                 for w in self.writers:
                     w.write(self.storage)
             pending = metrics
+
+            if prof.ENABLED and it == prof.START_STEP + prof.NUM_STEPS:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                logger.info(f"Profiler trace written to {self.cfg.OUTPUT_DIR}/profile")
 
             nxt = it + 1
             if ckpt_period and nxt % ckpt_period == 0:
