@@ -68,13 +68,26 @@ def load_weights(path: str, state, student_only: bool = False):
 
 
 def _cast_like(loaded, reference):
+    """Cast loaded leaves onto the reference dtypes; keep the reference leaf when
+    shapes mismatch (the reference checkpointer's shape-mismatch skipping,
+    ``detection_checkpoint.py:52-103`` via fvcore _strip/skip semantics)."""
     import jax.numpy as jnp
 
     flat_ref, treedef = jax.tree.flatten(reference)
     flat_new = treedef.flatten_up_to(loaded)
-    return jax.tree.unflatten(
-        treedef, [jnp.asarray(n, dtype=r.dtype) for n, r in zip(flat_new, flat_ref)]
-    )
+    out = []
+    for n, r in zip(flat_new, flat_ref):
+        n = jnp.asarray(n)
+        if n.shape != r.shape:
+            import logging
+
+            logging.getLogger("probabilisticteacher_tpu").warning(
+                f"Checkpoint shape mismatch {n.shape} vs {r.shape}; keeping model init"
+            )
+            out.append(r)
+        else:
+            out.append(n.astype(r.dtype))
+    return jax.tree.unflatten(treedef, out)
 
 
 # --------------------------------------------------------------------------- #

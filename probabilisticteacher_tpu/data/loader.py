@@ -233,10 +233,27 @@ class SemiSupLoader:
                 ub = unlabel_buckets[b][: self.bs_unlabel]
                 return {"label": _stack(lb), "unlabel": _stack(ub)}
             if min(len(label_buckets[0]), len(label_buckets[1])) < self.bs_label * 4:
-                rec = self.mapper(self.label_dicts[next(self.label_iter)], self.rng)
-                label_buckets[rec["bucket"]].append(rec)
-            rec = self.mapper(self.unlabel_dicts[next(self.unlabel_iter)], self.rng)
-            unlabel_buckets[rec["bucket"]].append(rec)
+                rec = self._map_with_retry(self.label_dicts, self.label_iter)
+                if rec is not None:
+                    label_buckets[rec["bucket"]].append(rec)
+            rec = self._map_with_retry(self.unlabel_dicts, self.unlabel_iter)
+            if rec is not None:
+                unlabel_buckets[rec["bucket"]].append(rec)
+
+    def _map_with_retry(self, dicts, it, retries: int = 3):
+        """Corrupt-sample resilience: skip undecodable images, like the reference's
+        MapDataset retry-with-random-fallback (``pt/data/common.py:35-57``)."""
+        for attempt in range(retries):
+            d = dicts[next(it)]
+            try:
+                return self.mapper(d, self.rng)
+            except Exception as e:
+                import logging
+
+                logging.getLogger("probabilisticteacher_tpu").warning(
+                    f"Failed to load {d.get('file_name')}: {e}; retrying with another sample"
+                )
+        return None
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
