@@ -144,6 +144,8 @@ def get_cfg() -> CfgNode:
     c.MODEL.BACKBONE = CfgNode()
     c.MODEL.BACKBONE.NAME = "build_vgg_backbone"
     c.MODEL.BACKBONE.FREEZE_AT = 2
+    # TPU-native addition: rematerialize the conv stack in backward (memory<->FLOPs)
+    c.MODEL.BACKBONE.REMAT = False
 
     c.MODEL.VGG = CfgNode()
     c.MODEL.VGG.DEPTH = 16

@@ -93,6 +93,7 @@ class Arch:
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     compute_dtype: str = "float32"
     roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather"
+    remat_backbone: bool = False  # jax.checkpoint the conv stack (memory <-> FLOPs)
 
     @staticmethod
     def from_cfg(cfg) -> "Arch":
@@ -138,6 +139,7 @@ class Arch:
             pixel_mean=tuple(m.PIXEL_MEAN),
             pixel_std=tuple(m.PIXEL_STD),
             compute_dtype="bfloat16" if cfg.SOLVER.AMP.ENABLED else "float32",
+            remat_backbone=bool(m.BACKBONE.get("REMAT", False)),
         )
 
 
@@ -199,7 +201,13 @@ class PTDetector:
 
     def features(self, params, images: ImageBatch) -> jnp.ndarray:
         x = self.preprocess(images)
-        return self.backbone.apply({"params": params["backbone"]}, x)[self.arch.feature]
+
+        def run(p, xx):
+            return self.backbone.apply({"params": p}, xx)[self.arch.feature]
+
+        if self.arch.remat_backbone:
+            run = jax.checkpoint(run)
+        return run(params["backbone"], x)
 
     def anchors(self, params, feat_h: int, feat_w: int) -> jnp.ndarray:
         return anchor_boxes(params.get("anchor_wh"), self.arch, feat_h, feat_w)
