@@ -109,6 +109,9 @@ def main(argv=None):
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     mutual, state, batches = build(batch, canvas, depth, amp, budgets)
     limg, lgt, uimg = batches
     key = jax.random.key(0)

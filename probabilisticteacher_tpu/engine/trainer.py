@@ -44,6 +44,9 @@ logger = logging.getLogger("probabilisticteacher_tpu")
 
 class PTrainer:
     def __init__(self, cfg):
+        from ..solver import auto_scale_config
+
+        cfg = auto_scale_config(cfg.clone() if getattr(cfg, "__immutable__", False) else cfg)
         self.cfg = cfg
         if cfg.MODEL.DEVICE == "cpu":
             # explicit CPU request (tests/smoke runs); must precede backend init

@@ -93,6 +93,30 @@ def _freeze_label_tree(params, freeze_at: int):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def auto_scale_config(cfg):
+    """detectron2 ``DefaultTrainer.auto_scale_workers`` semantics: when
+    SOLVER.REFERENCE_BATCH_SIZE > 0 and the actual labeled batch differs, scale
+    LR linearly and iteration counts inversely (exercised via
+    ``configs/pt/final_c2f.yaml:15`` REFERENCE_BATCH_SIZE: 16)."""
+    ref = int(cfg.SOLVER.get("REFERENCE_BATCH_SIZE", 0) or 0)
+    bs = int(cfg.SOLVER.IMG_PER_BATCH_LABEL)
+    if ref <= 0 or bs == ref:
+        return cfg
+    scale = bs / ref
+    frozen = getattr(cfg, "__immutable__", False)
+    if frozen:
+        cfg.defrost()
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+    cfg.UNSUPNET.BURN_UP_STEP = int(round(cfg.UNSUPNET.BURN_UP_STEP / scale))
+    if frozen:
+        cfg.freeze()
+    return cfg
+
+
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
     """clip(10) -> coupled weight decay -> SGD momentum, with frozen-backbone mask."""
     s = cfg.SOLVER
