@@ -288,6 +288,8 @@ def get_cfg() -> CfgNode:
     c.TEST.EVAL_PERIOD = 0
     c.TEST.EVALUATOR = "COCOeval"
     c.TEST.DETECTIONS_PER_IMAGE = 100
+    # TPU-native addition: batched eval over the static canvas (reference is batch 1)
+    c.TEST.IMS_PER_BATCH = 1
     c.TEST.EXPECTED_RESULTS = ()
     c.TEST.PRECISE_BN = CfgNode()
     c.TEST.PRECISE_BN.ENABLED = False

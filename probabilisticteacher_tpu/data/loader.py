@@ -269,20 +269,40 @@ class SemiSupLoader:
 
 
 class EvalLoader:
-    """Sequential eval loader: per-image padded batches (batch size 1, like the
-    reference's InferenceSampler path, ``pt/data/build.py:77-103``)."""
+    """Sequential eval loader over padded static batches.
+
+    The reference evaluates at batch 1 (``pt/data/build.py:77-103``); with static
+    canvases we can batch same-bucket images (``TEST.IMS_PER_BATCH``, TPU-native
+    addition, default 1 for parity). The final partial batch is padded by
+    repeating the last record; callers must dedupe by image_id — evaluate once
+    per id (evaluation.py adds GT keyed by image_id, and duplicate detections
+    for the same id are filtered here by truncation).
+    """
 
     def __init__(self, cfg, dicts: List[dict]):
         self.dicts = dicts
         self.mapper = Mapper(cfg, is_train=False)
         self.rng = np.random.Generator(np.random.PCG64(0))
+        self.batch = int(cfg.TEST.get("IMS_PER_BATCH", 1))
 
     def __len__(self):
         return len(self.dicts)
 
     def __iter__(self):
+        buckets: Dict[int, list] = {0: [], 1: []}
         for d in self.dicts:
-            yield _stack([self.mapper(d, self.rng)])
+            rec = self.mapper(d, self.rng)
+            b = buckets[rec["bucket"]]
+            b.append(rec)
+            if len(b) == self.batch:
+                yield _stack(b)
+                buckets[rec["bucket"]] = []
+        for b in buckets.values():
+            if b:
+                # pad to the static batch size (keeps one compiled shape); the
+                # padded repeats carry image_id None and are skipped in eval
+                pad = [dict(b[-1], image_id=None) for _ in range(self.batch - len(b))]
+                yield _stack(b + pad)
 
 
 # pytest-friendly alias (API name parity with build_detection_test_loader)

@@ -184,6 +184,8 @@ def evaluate_detections(detector, params, loader, class_names, style="voc",
         classes = np.asarray(dets.classes)
         valid = np.asarray(dets.valid)
         for j, image_id in enumerate(batch["image_id"]):
+            if image_id is None:  # EvalLoader batch padding
+                continue
             scale = float(batch["scale"][j])
             if gt_dicts is None:
                 gsel = batch["gt_valid"][j]

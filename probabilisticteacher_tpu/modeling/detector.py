@@ -219,8 +219,10 @@ class PTDetector:
     def roi_predict(self, params, feat, boxes) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """ROIAlign + box head + predictor. boxes (N, B, 4) -> ((N, B, K+1), (N, B, K*8))."""
         a = self.arch
+        # pooling runs in the backbone compute dtype (bf16 under AMP) with f32
+        # accumulation inside the interp matmuls; the box head casts as needed
         pooled = roi_align_batched(
-            feat.astype(jnp.float32), boxes, 1.0 / a.stride,
+            feat, boxes, 1.0 / a.stride,
             a.pooler_resolution, a.pooler_sampling_ratio, impl=a.roi_align_impl,
         )
         x = self.box_head.apply({"params": params["box_head"]}, pooled)

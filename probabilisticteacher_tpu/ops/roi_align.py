@@ -135,38 +135,42 @@ def roi_align_mxu(
 ) -> jnp.ndarray:
     """ROIAlign as dense interpolation matmuls — the TPU-native formulation.
 
-    Bilinear sampling is a 2-tap linear map per axis, so ROIAlign factorizes into
-    two small matrix products with per-ROI interpolation matrices Wy (R, p*s, H)
-    and Wx (R, p*s, W):
+    Bilinear sampling is a 2-tap linear map per axis and the s x s sample average
+    is ALSO linear, so the whole op (sampling + pooling) folds into per-ROI
+    interpolation-and-pool matrices Wy (R, p, H), Wx (R, p, W):
 
-        out[r] = avgpool_sxs( Wy[r] @ F @ Wx[r]^T )   (per channel)
+        out[r, :, :, c] = Wy[r] @ F[:, :, c] @ Wx[r]^T
 
-    This rides the MXU instead of issuing ~p*s*p*s*4 gathers per ROI — gathers are
-    the weak spot of the TPU memory system, dense f32/bf16 matmuls its strong one.
-    Numerically identical to :func:`roi_align` (parity-tested).
+    This rides the MXU instead of issuing ~p*s*p*s*4 gathers per ROI — gathers
+    are the weak spot of the TPU memory system, dense bf16 matmuls its strong
+    one. The contraction runs in the feature dtype (bf16 under AMP) with f32
+    accumulation. Numerically identical to :func:`roi_align` (parity-tested).
     """
     h, w, c = features.shape
     r = boxes.shape[0]
     p, s = output_size, max(sampling_ratio, 1)
-    scaled = boxes * spatial_scale - 0.5
-    ys, xs = _sample_points(scaled, p, s)          # (R, p*s)
-    wy = _interp_matrix(ys, h)                     # (R, p*s, H)
-    wx = _interp_matrix(xs, w)                     # (R, p*s, W)
+    scaled = boxes.astype(jnp.float32) * spatial_scale - 0.5
+    ys, xs = _sample_points(scaled, p, s)                    # (R, p*s)
+    # fold the sample average into the interp matrices: mean over the s samples
+    wy = _interp_matrix(ys, h).reshape(r, p, s, h).mean(2)   # (R, p, H)
+    wx = _interp_matrix(xs, w).reshape(r, p, s, w).mean(2)   # (R, p, W)
 
+    dt = features.dtype
+    wy = wy.astype(dt)
+    wx = wx.astype(dt)
+    # tmp[r, py, w, c] = sum_h wy[r, py, h] * F[h, w, c]   — one big MXU matmul
     fm = features.reshape(h, w * c)
-    ps = p * s
-
-    # unrolled over the p*s sample rows grouped per output row to bound the
-    # intermediate at (R, s, W, C) per group
-    out_rows = []
-    for k in range(p):
-        wy_k = wy[:, k * s:(k + 1) * s, :]                       # (R, s, H)
-        tmp = wy_k.reshape(r * s, h) @ fm                        # (R*s, W*C)
-        tmp = tmp.reshape(r, s, w, c)
-        # contract x: (R, p*s, W) x (R, s, W, C) -> (R, p*s, s, C)
-        row = jnp.einsum("rkw,rswc->rksc", wx, tmp)              # (R, ps, s, C)
-        out_rows.append(row.reshape(r, p, s, s, c).mean(axis=(2, 3)))  # (R, p, C)
-    return jnp.stack(out_rows, axis=1)  # (R, p, p, C)
+    tmp = jax.lax.dot_general(
+        wy.reshape(r * p, h), fm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(r, p, w, c).astype(dt)
+    # out[r, py, px, c] = sum_w wx[r, px, w] * tmp[r, py, w, c]  — batched over r
+    out = jax.lax.dot_general(
+        wx, tmp.reshape(r, p * 1, w, c).transpose(0, 2, 1, 3).reshape(r, w, p * c),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (R, p_x, p_y * C)
+    return out.reshape(r, p, p, c).transpose(0, 2, 1, 3)
 
 
 def roi_align_batched(
@@ -176,12 +180,27 @@ def roi_align_batched(
     output_size: int = 7,
     sampling_ratio: int = 2,
     impl: str = "mxu",
+    roi_chunk: int = 512,
 ) -> jnp.ndarray:
-    """vmapped ROIAlign -> (N, R, p, p, C). impl: "mxu" (default) or "gather"."""
+    """vmapped ROIAlign -> (N, R, p, p, C). impl: "mxu" (default) or "gather".
+
+    The mxu path materializes a (chunk, p, W, C) intermediate per step; chunking
+    over ROIs (``roi_chunk``) bounds that to ~100s of MB regardless of R (the
+    teacher pass pools 2000 ROIs/image).
+    """
     fn = partial(
         roi_align_mxu if impl == "mxu" else roi_align,
         spatial_scale=spatial_scale,
         output_size=output_size,
         sampling_ratio=sampling_ratio,
     )
+    r = boxes.shape[1]
+    if impl == "mxu" and r > roi_chunk and r % roi_chunk == 0:
+        chunks = boxes.reshape(boxes.shape[0], r // roi_chunk, roi_chunk, 4)
+
+        def per_image(feat_i, chunks_i):
+            return jax.lax.map(lambda bx: fn(feat_i, bx), chunks_i)
+
+        out = jax.vmap(per_image)(features, chunks)  # (N, n_chunks, chunk, p, p, C)
+        return out.reshape(boxes.shape[0], r, *out.shape[3:])
     return jax.vmap(fn)(features, boxes)

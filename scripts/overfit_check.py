@@ -19,8 +19,8 @@ sys.path.insert(0, "tests")
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=80)
-    p.add_argument("--burnup", type=int, default=60)
+    p.add_argument("--iters", type=int, default=150)
+    p.add_argument("--burnup", type=int, default=120)
     p.add_argument("--device", default="cpu")
     args = p.parse_args()
 
@@ -46,6 +46,9 @@ def main():
     cfg.OUTPUT_DIR = os.path.join(root, "out")
     cfg.MODEL.VGG.DEPTH = 11
     cfg.MODEL.VGG.PRETRAIN = ""
+    # objects are 12-48 px; the default 128-512 anchors would never reach IoU 0.3
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = ((16, 32, 64),)
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
