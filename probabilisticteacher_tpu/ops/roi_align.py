@@ -188,6 +188,17 @@ def roi_align_batched(
     over ROIs (``roi_chunk``) bounds that to ~100s of MB regardless of R (the
     teacher pass pools 2000 ROIs/image).
     """
+    if impl == "pallas":
+        from .roi_align_pallas import roi_align_pallas
+
+        fn = partial(
+            roi_align_pallas,
+            spatial_scale=spatial_scale,
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return jax.vmap(fn)(features, boxes)
     fn = partial(
         roi_align_mxu if impl == "mxu" else roi_align,
         spatial_scale=spatial_scale,

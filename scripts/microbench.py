@@ -35,6 +35,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--canvas", type=int, nargs=2, default=[608, 1216])
+    p.add_argument("--roi-impl", default="mxu", choices=["mxu", "gather", "pallas"])
     args = p.parse_args()
 
     from probabilisticteacher_tpu.config import get_cfg
@@ -51,6 +52,7 @@ def main():
     cfg.SOLVER.IMG_PER_BATCH_LABEL = b
     cfg.SOLVER.IMG_PER_BATCH_UNLABEL = b
     arch = Arch.from_cfg(cfg)
+    arch = arch.__class__(**{**arch.__dict__, "roi_align_impl": args.roi_impl})
     det = PTDetector(arch)
     h, w = args.canvas
 

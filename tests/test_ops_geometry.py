@@ -265,3 +265,18 @@ class TestROIAlignMXU:
         b = roi_align.roi_align_batched(feat, rois, 1.0 / 16, 7, 2, impl="mxu")
         assert a.shape == (2, 3, 7, 7, 4)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+class TestROIAlignPallas:
+    def test_parity_and_grads(self):
+        from probabilisticteacher_tpu.ops.roi_align import roi_align_batched
+        rng = np.random.RandomState(9)
+        feat = jnp.asarray(rng.randn(2, 10, 14, 8).astype(np.float32))
+        rois = jnp.asarray(rng.uniform(0, 120, (2, 8, 4)).astype(np.float32))
+        rois = rois.at[..., 2:].set(rois[..., :2] + 60.0)
+        a = roi_align_batched(feat, rois, 1.0 / 16, 7, 2, impl="mxu")
+        b = roi_align_batched(feat, rois, 1.0 / 16, 7, 2, impl="pallas")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+        g1 = jax.grad(lambda f: jnp.sum(roi_align_batched(f, rois, 1.0 / 16, 7, 2, impl="mxu")))(feat)
+        g2 = jax.grad(lambda f: jnp.sum(roi_align_batched(f, rois, 1.0 / 16, 7, 2, impl="pallas")))(feat)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
