@@ -194,6 +194,29 @@ class PTrainer:
         logger.info(f"eval{suffix}: {results}")
         return results
 
+    def validation_loss(self, params, dataset_name: str, max_batches: int = 20,
+                        rng_seed: int = 0) -> Dict[str, float]:
+        """Mean supervised losses over a labeled val set (LossEvalHook equivalent,
+        ``pt/engine/hooks.py:24-133`` — defined but never registered in the
+        reference; offered here as a utility)."""
+        dicts = DatasetCatalog.get(dataset_name)
+        dicts = [d for d in dicts if d.get("annotations")]
+        loader = TestLoader(self.cfg, dicts)
+        fn = jax.jit(lambda p, im, gt, k: self.detector.supervised_losses(p, im, gt, k))
+        totals: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            images = ImageBatch(batch["image"], batch["image_hw"])
+            gt = GroundTruth(batch["gt_boxes"], batch["gt_classes"].astype(np.int32),
+                             batch["gt_valid"])
+            losses = fn(params, images, gt, jax.random.key(rng_seed + i))
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {f"val_{k}": v / max(n, 1) for k, v in totals.items()}
+
     def test(self, params, max_images: int = 0) -> Dict[str, float]:
         style = "voc" if self.cfg.TEST.EVALUATOR == "VOCeval" else "coco"
         out = {}

@@ -1,1 +1,2 @@
-from . import anchors, box_regression, boxes, losses, matcher, nms, roi_align, sampling  # noqa: F401
+from . import (anchors, box_regression, boxes, grad, losses, matcher, nms,  # noqa: F401
+               roi_align, roi_align_pallas, sampling)

@@ -124,3 +124,8 @@ def test_trainer_end_to_end(voc_tree, tmp_path):
     trainer2 = PTrainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == 4
+
+    # LossEvalHook-equivalent: mean supervised losses over the val set
+    vl = trainer2.validation_loss(trainer2.state.student, name + "_v", max_batches=2)
+    assert set(vl) == {"val_loss_rpn_cls", "val_loss_rpn_loc", "val_loss_cls", "val_loss_box_reg"}
+    assert all(np.isfinite(v) for v in vl.values())
