@@ -55,6 +55,30 @@ def resize_shortest_edge(img: np.ndarray, boxes: np.ndarray, short: int,
     return img, boxes, scale
 
 
+def random_crop(img: np.ndarray, boxes: np.ndarray, crop_type: str,
+                crop_size, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """detectron2 RandomCrop: 'relative' / 'relative_range' / 'absolute'."""
+    h, w = img.shape[:2]
+    if crop_type == "relative":
+        ch, cw = int(h * crop_size[0] + 0.5), int(w * crop_size[1] + 0.5)
+    elif crop_type == "relative_range":
+        sz = np.asarray(crop_size, np.float32)
+        ch_r, cw_r = sz + rng.random(2) * (1.0 - sz)
+        ch, cw = int(h * ch_r + 0.5), int(w * cw_r + 0.5)
+    elif crop_type == "absolute":
+        ch, cw = min(int(crop_size[0]), h), min(int(crop_size[1]), w)
+    else:
+        raise ValueError(crop_type)
+    y0 = int(rng.integers(0, h - ch + 1))
+    x0 = int(rng.integers(0, w - cw + 1))
+    img = img[y0:y0 + ch, x0:x0 + cw]
+    if boxes.size:
+        boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+    return img, boxes
+
+
 def hflip(img: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     w = img.shape[1]
     img = img[:, ::-1]
@@ -85,7 +109,12 @@ class Mapper:
         self.canvas_tall = tuple(cfg.INPUT.CANVAS.TALL)
         self.max_gt = cfg.INPUT.MAX_GT
         self.is_train = is_train
-        self.use_native = bool(cfg.DATALOADER.get("NATIVE", True))
+        # RandomCrop before resize (dataset_mapper.py:51-59; off in all PT configs)
+        self.crop = is_train and bool(cfg.INPUT.CROP.ENABLED)
+        self.crop_type = cfg.INPUT.CROP.TYPE
+        self.crop_size = tuple(cfg.INPUT.CROP.SIZE)
+        # the native fast path covers the default decode->resize->flip pipeline only
+        self.use_native = bool(cfg.DATALOADER.get("NATIVE", True)) and not self.crop
 
     def _load_native(self, record, short, flip):
         from . import native
@@ -126,6 +155,8 @@ class Mapper:
                     boxes[:, 2] = nw - x1
         else:
             img = read_image_bgr(record["file_name"])
+            if self.crop:
+                img, boxes = random_crop(img, boxes, self.crop_type, self.crop_size, rng)
             img, boxes, scale = resize_shortest_edge(img, boxes, short, self.max_size)
             if flip:
                 img, boxes = hflip(img, boxes)
