@@ -185,7 +185,25 @@ class PTrainer:
                 self.eval_and_log(suffix="_teacher", params=self.state.teacher)
 
         save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
-        return self.test(self.state.teacher)
+        results = self.test(self.state.teacher)
+        self.verify_results(results)
+        return results
+
+    def verify_results(self, results: Dict[str, float]) -> bool:
+        """detectron2 ``verify_results`` (exercised at ``trainer.py:150-151``):
+        compare against cfg.TEST.EXPECTED_RESULTS entries (task, metric, value, tol)."""
+        expected = self.cfg.TEST.EXPECTED_RESULTS
+        ok = True
+        for entry in expected:
+            _task, metric, value, tol = entry
+            actual = results.get(metric)
+            if actual is None or abs(actual - value) > tol:
+                logger.error(f"Result verification failed: {metric}={actual}, "
+                             f"expected {value} +- {tol}")
+                ok = False
+        if expected and ok:
+            logger.info("Result verification passed.")
+        return ok
 
     # ------------------------------------------------------------------- eval
     def eval_and_log(self, suffix: str, params) -> Dict[str, float]:

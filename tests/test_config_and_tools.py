@@ -120,3 +120,31 @@ def test_foggy_triplication(tmp_path):
     ]
     txt = (tmp_path / "ImageSets" / "Main" / "val.txt").read_text().strip().split()
     assert len(txt) == 3
+
+
+def test_coco_json_loader(tmp_path):
+    import json as _json
+
+    from probabilisticteacher_tpu.data.datasets import load_coco_json
+
+    coco = {
+        "images": [{"id": 7, "file_name": "a.jpg", "height": 100, "width": 200}],
+        "categories": [{"id": 3, "name": "car"}, {"id": 9, "name": "bus"}],
+        "annotations": [
+            {"image_id": 7, "category_id": 9, "bbox": [10, 20, 30, 40], "iscrowd": 0},
+            {"image_id": 7, "category_id": 3, "bbox": [0, 0, 5, 5], "iscrowd": 1},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(_json.dumps(coco))
+    dicts = load_coco_json(str(p), str(tmp_path))
+    assert len(dicts) == 1
+    d = dicts[0]
+    assert d["image_id"] == 7 and d["height"] == 100
+    # crowd filtered; XYWH->XYXY; category id remapped (3->0, 9->1)
+    assert len(d["annotations"]) == 1
+    assert d["annotations"][0]["bbox"] == [10, 20, 40, 60]
+    assert d["annotations"][0]["category_id"] == 1
+
+    unl = load_coco_json(str(p), str(tmp_path), unlabeled=True)
+    assert unl[0]["annotations"] == []
