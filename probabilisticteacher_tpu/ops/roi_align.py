@@ -158,19 +158,22 @@ def roi_align_mxu(
     dt = features.dtype
     wy = wy.astype(dt)
     wx = wx.astype(dt)
-    # tmp[r, py, w, c] = sum_h wy[r, py, h] * F[h, w, c]   — one big MXU matmul
+    # tmp[r, py, w, c] = sum_h wy[r, py, h] * F[h, w, c]  — one big MXU matmul.
+    # Output directly in the feature dtype (the MXU accumulates in f32 internally;
+    # preferred_element_type only picks the output dtype) to avoid a cast copy of
+    # the large intermediate.
     fm = features.reshape(h, w * c)
     tmp = jax.lax.dot_general(
         wy.reshape(r * p, h), fm, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(r, p, w, c).astype(dt)
-    # out[r, py, px, c] = sum_w wx[r, px, w] * tmp[r, py, w, c]  — batched over r
+        preferred_element_type=dt,
+    ).reshape(r, p, w, c)
+    # out[r, px, py, c] = sum_w wx[r, px, w] * tmp[r, py, w, c] — batched dot with
+    # NO physical transpose of the big intermediate (rhs free dims stay in place)
     out = jax.lax.dot_general(
-        wx, tmp.reshape(r, p * 1, w, c).transpose(0, 2, 1, 3).reshape(r, w, p * c),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (R, p_x, p_y * C)
-    return out.reshape(r, p, p, c).transpose(0, 2, 1, 3)
+        wx, tmp, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=dt,
+    )  # (R, p_x, p_y, C)
+    return out.transpose(0, 2, 1, 3)  # (R, p_y, p_x, C), small
 
 
 def roi_align_batched(
