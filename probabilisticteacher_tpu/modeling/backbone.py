@@ -35,9 +35,12 @@ class VGG(nn.Module):
     depth: int = 16
     out_features: Sequence[str] = ("vgg_block5",)
     dtype: Any = jnp.float32
+    freeze_at: int = 0  # blocks 1..freeze_at frozen (vgg.py:175-180)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        import jax
+
         x = x.astype(self.dtype)
         outputs: Dict[str, jnp.ndarray] = {}
         for bi, channels in enumerate(VGG_STAGES[self.depth], start=1):
@@ -54,6 +57,11 @@ class VGG(nn.Module):
                 x = nn.relu(x)
             if bi < 5:  # no pool in block5 -> stride stays 16
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if bi == self.freeze_at:
+                # frozen stem: truncate backward entirely (requires_grad=False
+                # semantics); the optimizer additionally zero-masks these params.
+                # Saves the full-resolution conv backward of blocks 1..freeze_at.
+                x = jax.lax.stop_gradient(x)
             name = f"vgg_block{bi}"
             if name in self.out_features:
                 outputs[name] = x

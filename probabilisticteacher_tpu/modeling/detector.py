@@ -94,6 +94,7 @@ class Arch:
     compute_dtype: str = "float32"
     roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather"
     remat_backbone: bool = False  # jax.checkpoint the conv stack (memory <-> FLOPs)
+    freeze_at: int = 2  # frozen VGG blocks (MODEL.BACKBONE.FREEZE_AT)
 
     @staticmethod
     def from_cfg(cfg) -> "Arch":
@@ -140,6 +141,7 @@ class Arch:
             pixel_std=tuple(m.PIXEL_STD),
             compute_dtype="bfloat16" if cfg.SOLVER.AMP.ENABLED else "float32",
             remat_backbone=bool(m.BACKBONE.get("REMAT", False)),
+            freeze_at=int(m.BACKBONE.FREEZE_AT),
         )
 
 
@@ -155,7 +157,8 @@ class PTDetector:
         dtype = jnp.bfloat16 if arch.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         self.A = num_cell_anchors(arch)
-        self.backbone = VGG(depth=arch.vgg_depth, out_features=(arch.feature,), dtype=dtype)
+        self.backbone = VGG(depth=arch.vgg_depth, out_features=(arch.feature,),
+                            dtype=dtype, freeze_at=arch.freeze_at)
         in_channels = VGG.out_channels(arch.vgg_depth, arch.feature)
         self.rpn_head = RPNHead(num_anchors=self.A, box_dim=8, conv_dim=in_channels, dtype=dtype)
         self.box_head = BoxHead(fc_dim=arch.fc_dim, num_fc=arch.num_fc, dtype=dtype)

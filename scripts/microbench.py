@@ -94,6 +94,28 @@ def main():
     t = timeit(jax.jit(lambda p, f, pr: det._roi_inference(p, f, pr, images.image_hw)), params, feat, proposals)
     print(f"roi inference (incl 16k NMS):    {t*1e3:8.1f} ms")
 
+    # 5b. roi_predict fwd+bwd at student scale (ROI_BATCH+MAX_GT boxes)
+    sb = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+    sboxes = proposals.boxes[:, :sb]
+    t = timeit(jax.jit(lambda p, f, bx: jax.grad(
+        lambda q: jnp.sum(det.roi_predict(q, f, bx)[0]))(p)), params, feat, sboxes)
+    print(f"roi_predict fwd+bwd (P={sb}):    {t*1e3:8.1f} ms")
+
+    # 5c. rpn-only supervised fwd+bwd (no proposals/roi)
+    def rpn_only(p):
+        ft = det.features(p, images)
+        o, d = det.rpn_predict(p, ft)
+        anc = jax.lax.stop_gradient(det.anchors(p, ft.shape[1], ft.shape[2]))
+        return sum(det.rpn_supervised_losses(anc, o, d, gt, jax.random.key(1)).values())
+
+    t = timeit(jax.jit(lambda p: jax.grad(rpn_only)(p)), params)
+    print(f"rpn-only sup fwd+bwd:            {t*1e3:8.1f} ms")
+
+    # 5d. backbone fwd+bwd alone
+    t = timeit(jax.jit(lambda p: jax.grad(
+        lambda q: jnp.sum(det.features(q, images)))(p)), params)
+    print(f"backbone fwd+bwd:                {t*1e3:8.1f} ms")
+
     # 6. full branches
     t = timeit(jax.jit(det.pseudo_labels), params, images)
     print(f"pseudo_labels (teacher pass):    {t*1e3:8.1f} ms")
