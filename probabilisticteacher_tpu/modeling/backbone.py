@@ -29,6 +29,20 @@ VGG_STAGES: Dict[int, Sequence[Sequence[int]]] = {
 _msra = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping 2x2/2 max pool via reshape+max.
+
+    Equivalent to nn.max_pool(x, (2,2), (2,2)) for even H, W, but its backward is a
+    fused elementwise select instead of XLA SelectAndScatter (which is very slow on
+    TPU and dominates CNN backward passes). Odd trailing rows/cols are dropped,
+    matching torch MaxPool2d floor semantics.
+    """
+    n, h, w, c = x.shape
+    x = x[:, : h - h % 2, : w - w % 2]
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(jnp.max(x, axis=4), axis=2)
+
+
 class VGG(nn.Module):
     """Returns a dict of requested stage outputs, e.g. {"vgg_block5": (N, H/16, W/16, 512)}."""
 
@@ -56,7 +70,7 @@ class VGG(nn.Module):
                 )(x)
                 x = nn.relu(x)
             if bi < 5:  # no pool in block5 -> stride stays 16
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
             if bi == self.freeze_at:
                 # frozen stem: truncate backward entirely (requires_grad=False
                 # semantics); the optimizer additionally zero-masks these params.
