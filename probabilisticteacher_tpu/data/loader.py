@@ -246,11 +246,45 @@ class SemiSupLoader:
         self.label_dicts = label_dicts
         self.unlabel_dicts = unlabel_dicts
         self.mapper = Mapper(cfg, is_train=True)
-        self.rng = np.random.Generator(np.random.PCG64(seed + 1))
+        self.seed = seed
         self.label_iter = iter(_InfiniteSampler(len(label_dicts), seed + 2))
         self.unlabel_iter = iter(_InfiniteSampler(len(unlabel_dicts), seed + 3))
         self.prefetch = prefetch
+        self.num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+        self._pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # threads, not processes: PIL decode and the native C loader release
+            # the GIL, so this parallelizes like the reference's worker processes
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        self._sample_counter = 0
         self._q: Optional[queue.Queue] = None
+
+    def _map_one(self, item):
+        """Corrupt-sample resilience: skip undecodable images (returns None), like
+        the reference's MapDataset retry-with-fallback (``pt/data/common.py:35-57``)."""
+        d, seed = item
+        try:
+            return self.mapper(d, np.random.Generator(np.random.PCG64(seed)))
+        except Exception as e:
+            import logging
+
+            logging.getLogger("probabilisticteacher_tpu").warning(
+                f"Failed to load {d.get('file_name')}: {e}; skipping"
+            )
+            return None
+
+    def _draw(self, stream: str, n: int):
+        dicts, it = ((self.label_dicts, self.label_iter) if stream == "l"
+                     else (self.unlabel_dicts, self.unlabel_iter))
+        jobs = []
+        for _ in range(n):
+            self._sample_counter += 1
+            jobs.append((dicts[next(it)], self.seed * 1_000_003 + self._sample_counter))
+        if self._pool is not None:
+            return list(self._pool.map(self._map_one, jobs))
+        return [self._map_one(j) for j in jobs]
 
     def _produce_one(self) -> Dict[str, Dict[str, np.ndarray]]:
         label_buckets: Dict[int, list] = {0: [], 1: []}
@@ -263,28 +297,14 @@ class SemiSupLoader:
                 lb = label_buckets[b][: self.bs_label]
                 ub = unlabel_buckets[b][: self.bs_unlabel]
                 return {"label": _stack(lb), "unlabel": _stack(ub)}
+            chunk = self.num_workers
             if min(len(label_buckets[0]), len(label_buckets[1])) < self.bs_label * 4:
-                rec = self._map_with_retry(self.label_dicts, self.label_iter)
+                for rec in self._draw("l", chunk):
+                    if rec is not None:
+                        label_buckets[rec["bucket"]].append(rec)
+            for rec in self._draw("u", chunk):
                 if rec is not None:
-                    label_buckets[rec["bucket"]].append(rec)
-            rec = self._map_with_retry(self.unlabel_dicts, self.unlabel_iter)
-            if rec is not None:
-                unlabel_buckets[rec["bucket"]].append(rec)
-
-    def _map_with_retry(self, dicts, it, retries: int = 3):
-        """Corrupt-sample resilience: skip undecodable images, like the reference's
-        MapDataset retry-with-random-fallback (``pt/data/common.py:35-57``)."""
-        for attempt in range(retries):
-            d = dicts[next(it)]
-            try:
-                return self.mapper(d, self.rng)
-            except Exception as e:
-                import logging
-
-                logging.getLogger("probabilisticteacher_tpu").warning(
-                    f"Failed to load {d.get('file_name')}: {e}; retrying with another sample"
-                )
-        return None
+                    unlabel_buckets[rec["bucket"]].append(rec)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
