@@ -116,14 +116,20 @@ def main(argv=None):
     limg, lgt, uimg = batches
     key = jax.random.key(0)
 
-    # compile + warmup
+    # compile + warmup (float() forces a real host sync — block_until_ready does
+    # NOT block on tunneled backends, so every timed iteration must fetch a scalar;
+    # the fetch of step i-1 is pipelined behind step i to hide the RPC latency)
     state, m = mutual(state, limg, lgt, uimg, key)
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])
 
     t0 = time.perf_counter()
+    prev = None
     for _ in range(iters):
         state, m = mutual(state, limg, lgt, uimg, key)
-    jax.block_until_ready(m["total_loss"])
+        if prev is not None:
+            float(prev)
+        prev = m["total_loss"]
+    float(prev)
     dt = (time.perf_counter() - t0) / iters
 
     n_chips = jax.device_count()
