@@ -29,12 +29,12 @@ import jax.numpy as jnp
 from .boxes import pairwise_iou
 
 
-def _intra_block_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray) -> jnp.ndarray:
-    """Solve the sequential NMS recurrence inside one block.
+def _fixed_point_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray) -> jnp.ndarray:
+    """Solve the sequential NMS recurrence by fixed-point iteration.
 
     iou_sup: (B, B) bool, True where i would suppress j (i < j and iou > t).
     ext_ok:  (B,) bool, False where already suppressed by previously-kept boxes.
-    Returns keep: (B,) bool.
+    Returns keep: (B,) bool. Converges in <= longest suppression chain iterations.
     """
     sup_f = iou_sup.astype(jnp.float32)
 
@@ -51,6 +51,40 @@ def _intra_block_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray) -> jnp.ndarray:
     keep0 = ext_ok
     keep, _, _ = jax.lax.while_loop(cond, body, (keep0, ~keep0, jnp.int32(0)))
     return keep
+
+
+def _intra_block_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray,
+                      sub: int = 128) -> jnp.ndarray:
+    """Two-level solve: scan over sub-blocks of ``sub``, fixed point within each.
+
+    Suppression chains rarely stay inside one sub-block, so the per-sub fixed
+    point converges in a few tiny (S, S) matvecs while cross-sub suppression is
+    ONE (B, S) masked matvec per scan step — much shorter sequential dependence
+    than a whole-block fixed point (profiled: NMS while-loops were ~12% of the
+    mutual step).
+    """
+    b = iou_sup.shape[0]
+    if b <= sub:
+        return _fixed_point_keep(iou_sup, ext_ok)
+    nsub = -(-b // sub)
+    pad = nsub * sub - b
+    sup_f = iou_sup.astype(jnp.float32)
+    if pad:
+        sup_f = jnp.pad(sup_f, ((0, pad), (0, pad)))
+        ext_ok = jnp.pad(ext_ok, (0, pad))
+        b = nsub * sub
+
+    def step(keep_so_far, j):
+        cols = jax.lax.dynamic_slice_in_dim(sup_f, j * sub, sub, axis=1)   # (B, S)
+        ext_sup = (keep_so_far.astype(jnp.float32) @ cols) > 0.5           # (S,)
+        ok = jax.lax.dynamic_slice_in_dim(ext_ok, j * sub, sub, 0) & ~ext_sup
+        diag = jax.lax.dynamic_slice(sup_f, (j * sub, j * sub), (sub, sub))
+        k = _fixed_point_keep(diag > 0.5, ok)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep_so_far, k, j * sub, 0)
+        return keep, None
+
+    keep, _ = jax.lax.scan(step, jnp.zeros((b,), bool), jnp.arange(nsub))
+    return keep[: iou_sup.shape[0]]
 
 
 @partial(jax.jit, static_argnames=("max_keep", "block_size"))

@@ -280,3 +280,36 @@ class TestROIAlignPallas:
         g1 = jax.grad(lambda f: jnp.sum(roi_align_batched(f, rois, 1.0 / 16, 7, 2, impl="mxu")))(feat)
         g2 = jax.grad(lambda f: jnp.sum(roi_align_batched(f, rois, 1.0 / 16, 7, 2, impl="pallas")))(feat)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
+
+
+class TestNMSStress:
+    def test_long_suppression_chains(self):
+        """Chained overlapping boxes spanning sub-block boundaries (exactness of the
+        two-level fixed-point solve vs the greedy oracle)."""
+        rng = np.random.RandomState(11)
+        # 600 boxes in a sliding chain: box i overlaps i+1 heavily
+        n = 600
+        xs = np.arange(n, dtype=np.float32) * 3.0
+        boxes_np = np.stack([xs, np.zeros(n, np.float32), xs + 20.0,
+                             np.full(n, 20.0, np.float32)], axis=1)
+        scores_np = rng.rand(n).astype(np.float32)
+        keep_oracle = oracles.greedy_nms(boxes_np, scores_np, 0.3)
+
+        idx, valid = nms.nms(jnp.asarray(boxes_np), jnp.asarray(scores_np),
+                             jnp.ones(n, bool), 0.3, max_keep=n, block_size=256)
+        got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+        assert got == list(keep_oracle)
+
+    def test_random_dense_clusters(self):
+        rng = np.random.RandomState(12)
+        for trial in range(3):
+            n = 500
+            centers = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+            wh = rng.uniform(20, 60, (n, 2)).astype(np.float32)
+            boxes_np = np.concatenate([centers - wh / 2, centers + wh / 2], 1)
+            scores_np = rng.rand(n).astype(np.float32)
+            keep_oracle = oracles.greedy_nms(boxes_np, scores_np, 0.5)
+            idx, valid = nms.nms(jnp.asarray(boxes_np), jnp.asarray(scores_np),
+                                 jnp.ones(n, bool), 0.5, max_keep=n, block_size=128)
+            got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+            assert got == list(keep_oracle), trial
