@@ -124,3 +124,27 @@ def test_unsupervised_losses_and_anchor_grads():
     sup_grads = jax.grad(total_sup)(params)
     # supervised branch: anchors are grad-zeroed (no danchor)
     assert float(jnp.sum(jnp.abs(sup_grads["anchor_wh"]))) == 0.0
+
+
+def test_laplace_mode(setup):
+    """UNSUPNET.MODEL_TYPE=LAPLACE end-to-end finiteness (config.py:63 option)."""
+    det0, params, images, gt = setup
+    arch = TINY.__class__(**{**TINY.__dict__, "model_type": "LAPLACE"})
+    det = PTDetector(arch)
+    losses = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    pseudo = jax.jit(det.pseudo_labels)(params, images)
+    ul = jax.jit(det.unsupervised_losses)(params, images, pseudo, None)
+    assert all(np.isfinite(float(v)) for v in ul.values())
+
+
+def test_step_determinism(setup):
+    """Same params + same rng => bitwise-identical losses (seeded reproducibility)."""
+    det, params, images, gt = setup
+    f = jax.jit(det.supervised_losses)
+    l1 = f(params, images, gt, jax.random.key(42))
+    l2 = f(params, images, gt, jax.random.key(42))
+    for k in l1:
+        assert float(l1[k]) == float(l2[k]), k
+    l3 = f(params, images, gt, jax.random.key(43))
+    assert any(float(l1[k]) != float(l3[k]) for k in l1)  # sampling rng has effect
