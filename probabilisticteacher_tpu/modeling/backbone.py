@@ -30,19 +30,18 @@ _msra = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Non-overlapping 2x2/2 max pool via strided slices + elementwise max.
+    """Non-overlapping 2x2/2 max pool via reshape+max.
 
-    Equivalent to nn.max_pool(x, (2,2), (2,2)) for even H, W, but avoids both the
-    XLA SelectAndScatter backward (very slow on TPU) and the dimension-splitting
-    reshape relayouts (profiled at ~15 ms/step on the full model). Strided slices
-    keep the (sublane, lane) layout intact; backward is fused compare+select.
+    Equivalent to nn.max_pool(x, (2,2), (2,2)) for even H, W, but its backward is
+    a fused elementwise select instead of XLA SelectAndScatter (very slow on TPU).
+    NOTE: a strided-slice variant (x[:, 0::2, 0::2] etc.) crashes the TPU runtime
+    at production shapes on this toolchain — do not switch back without re-testing.
     Odd trailing rows/cols are dropped, matching torch MaxPool2d floor semantics.
     """
     n, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2]
-    a = jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2])
-    b = jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2])
-    return jnp.maximum(a, b)
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(jnp.max(x, axis=4), axis=2)
 
 
 class VGG(nn.Module):
