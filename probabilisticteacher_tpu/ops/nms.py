@@ -54,17 +54,16 @@ def _fixed_point_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray) -> jnp.ndarray:
 
 
 def _intra_block_keep(iou_sup: jnp.ndarray, ext_ok: jnp.ndarray,
-                      sub: int = 128) -> jnp.ndarray:
-    """Two-level solve: scan over sub-blocks of ``sub``, fixed point within each.
+                      sub: int = 0) -> jnp.ndarray:
+    """Solve the intra-block NMS recurrence.
 
-    Suppression chains rarely stay inside one sub-block, so the per-sub fixed
-    point converges in a few tiny (S, S) matvecs while cross-sub suppression is
-    ONE (B, S) masked matvec per scan step — much shorter sequential dependence
-    than a whole-block fixed point (profiled: NMS while-loops were ~12% of the
-    mutual step).
+    sub=0 (default): one whole-block fixed point. sub>0: two-level variant (scan
+    over sub-blocks, fixed point within each) — measured SLOWER on v5e at the
+    production sizes (many small while-loops lose to one big one: 54 vs 35 ms of
+    whiles per mutual step); kept as an option for other hardware/shapes.
     """
     b = iou_sup.shape[0]
-    if b <= sub:
+    if sub <= 0 or b <= sub:
         return _fixed_point_keep(iou_sup, ext_ok)
     nsub = -(-b // sub)
     pad = nsub * sub - b
