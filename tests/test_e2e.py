@@ -42,7 +42,7 @@ def micro_cfg(tmp, label_name, unlabel_name, test_name):
     cfg.SOLVER.BASE_LR = 0.001
     cfg.SOLVER.CHECKPOINT_PERIOD = 4
     cfg.SOLVER.AMP.ENABLED = False
-    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 4  # exercise periodic eval of BOTH models once
     cfg.TEST.EVALUATOR = "VOCeval"
     cfg.INPUT.MIN_SIZE_TRAIN = (48,)
     cfg.INPUT.MAX_SIZE_TRAIN = 96
