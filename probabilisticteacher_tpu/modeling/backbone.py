@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # channel plan per VGG depth (torchvision layout, exercised via MODEL.VGG.DEPTH)
@@ -29,19 +30,48 @@ VGG_STAGES: Dict[int, Sequence[Sequence[int]]] = {
 _msra = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
-def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Non-overlapping 2x2/2 max pool via reshape+max.
+def _max_pool_2x2_impl(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping 2x2/2 max pool: reduce_window forward + custom backward.
 
-    Equivalent to nn.max_pool(x, (2,2), (2,2)) for even H, W, but its backward is
-    a fused elementwise select instead of XLA SelectAndScatter (very slow on TPU).
-    NOTE: a strided-slice variant (x[:, 0::2, 0::2] etc.) crashes the TPU runtime
-    at production shapes on this toolchain — do not switch back without re-testing.
-    Odd trailing rows/cols are dropped, matching torch MaxPool2d floor semantics.
+    XLA's native max-pool backward (SelectAndScatter) is very slow on TPU, and a
+    reshape+max formulation pays large relayout copies on both passes (a
+    strided-slice variant even crashes the TPU runtime at production shapes).
+    Here the forward is a plain reduce_window and the backward routes the
+    cotangent to window maxima by comparison. Ties distribute the gradient to
+    every maximum (torch picks one); post-ReLU the only mass-ties are at 0 where
+    the upstream ReLU backward zeroes the gradient anyway, so training is
+    unaffected. Odd trailing rows/cols are dropped (torch floor semantics).
     """
     n, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2]
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return jnp.max(jnp.max(x, axis=4), axis=2)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.asarray(-jnp.inf, x.dtype),
+        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+
+
+_max_pool_2x2 = jax.custom_vjp(_max_pool_2x2_impl)
+
+
+def _pool_fwd(x):
+    out = _max_pool_2x2_impl(x)
+    return out, (x, out)
+
+
+def _pool_bwd(res, g):
+    x, out = res
+    n, h, w, c = x.shape
+    he, we = h - h % 2, w - w % 2
+    xe = x[:, :he, :we]
+    up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+    mask = (xe == up(out)).astype(g.dtype)
+    gx = up(g) * mask
+    if he != h or we != w:
+        gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    return (gx,)
+
+
+_max_pool_2x2.defvjp(_pool_fwd, _pool_bwd)
 
 
 class VGG(nn.Module):
