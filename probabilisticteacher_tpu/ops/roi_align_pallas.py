@@ -38,15 +38,12 @@ def _kernel(wy_ref, wx_ref, feat_ref, out_ref):
     tmp = jnp.dot(wy, feat_ref[:], preferred_element_type=jnp.float32)
     tmp = tmp.reshape(rb, p, w, c).astype(wx_ref.dtype)
 
-    # x-interp per (roi, output row): (p, W) @ (W, C)
-    def body(i, _):
-        r = i // p
-        py = i % p
-        row = jnp.dot(wx_ref[r], tmp[r, py], preferred_element_type=jnp.float32)
-        out_ref[r, py] = row.astype(out_ref.dtype)  # (p_x, C)
-        return _
-
-    jax.lax.fori_loop(0, rb * p, body, 0)
+    # x-interp per (roi, output row): (p, W) @ (W, C). Static unroll: Pallas TPU
+    # cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
+    for r in range(rb):
+        for py in range(p):
+            row = jnp.dot(wx_ref[r], tmp[r, py], preferred_element_type=jnp.float32)
+            out_ref[r, py] = row.astype(out_ref.dtype)  # (p_x, C)
 
 
 def _forward(features, wy, wx, interpret=False):
