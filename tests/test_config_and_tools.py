@@ -148,3 +148,33 @@ def test_coco_json_loader(tmp_path):
 
     unl = load_coco_json(str(p), str(tmp_path), unlabeled=True)
     assert unl[0]["annotations"] == []
+
+
+def test_vgg_caffe_import_roundtrip(tmp_path):
+    """vgg16_caffe.npz -> params: name map + OIHW->HWIO transpose (vgg.py:130-145)."""
+    import jax
+
+    from probabilisticteacher_tpu.checkpoint import _VGG16_TORCH_LAYOUT, load_vgg_caffe
+    from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+
+    det = PTDetector(Arch(vgg_depth=16, fc_dim=16))
+    params = det.init(jax.random.key(0), (64, 64))
+
+    rng = np.random.RandomState(0)
+    raw = {}
+    for idx, name in _VGG16_TORCH_LAYOUT:
+        k = params["backbone"][name]["kernel"]  # HWIO
+        h, w, i, o = k.shape
+        raw[f"features.{idx}.weight"] = rng.randn(o, i, h, w).astype(np.float32)
+        raw[f"features.{idx}.bias"] = rng.randn(o).astype(np.float32)
+    path = str(tmp_path / "vgg16_caffe.npz")
+    np.savez(path, **raw)
+
+    new = load_vgg_caffe(params, path)
+    w0 = raw["features.0.weight"]  # (64, 3, 3, 3) OIHW
+    got = np.asarray(new["backbone"]["block1_conv1"]["kernel"])  # HWIO
+    np.testing.assert_allclose(got, w0.transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(np.asarray(new["backbone"]["block5_conv3"]["bias"]),
+                               raw["features.28.bias"])
+    # non-backbone params untouched
+    assert new["rpn_head"] is params["rpn_head"]
