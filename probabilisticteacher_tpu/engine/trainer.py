@@ -181,8 +181,10 @@ class PTrainer:
                 save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
                 logger.info(f"Checkpoint saved at iter {nxt}")
             if eval_period and nxt % eval_period == 0:
+                # reference suffixes the student keys and leaves the teacher's
+                # plain — the headline metric tracks the teacher (trainer.py:529-542)
                 self.eval_and_log(suffix="_student", params=self.state.student)
-                self.eval_and_log(suffix="_teacher", params=self.state.teacher)
+                self.eval_and_log(suffix="", params=self.state.teacher)
 
         save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
         results = self.test(self.state.teacher)

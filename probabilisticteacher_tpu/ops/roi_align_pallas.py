@@ -27,23 +27,26 @@ from .roi_align import _interp_matrix, _sample_points
 ROI_BLOCK = 8  # ROIs per grid step; bounds the VMEM intermediate
 
 
-def _kernel(wy_ref, wx_ref, feat_ref, out_ref):
-    """wy (RB, p, H), wx (RB, p, W), feat (H, W*C) -> out (RB, p, p, C)."""
-    rb, p, h = wy_ref.shape
-    w = wx_ref.shape[2]
-    c = out_ref.shape[3]
+def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
+    """wy (RB*p, H), wx (RB, p, W), feat (H, W*C) -> out (RB*p, p_x, C).
+
+    All awkward reshapes live OUTSIDE the kernel (Mosaic rejects shape casts on
+    non-tile-aligned leading dims); in-kernel reshapes only split the minor
+    (lane) dimension, which lowers cleanly.
+    """
+    rbp, h = wy_ref.shape
+    rb, _, w = wx_ref.shape
+    c = out_ref.shape[2]
 
     # y-interp for the whole block in one MXU matmul: (RB*p, H) @ (H, W*C)
-    wy = wy_ref[:].reshape(rb * p, h)
-    tmp = jnp.dot(wy, feat_ref[:], preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(rb, p, w, c).astype(wx_ref.dtype)
+    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(rbp, w, c).astype(wx_ref.dtype)  # minor-dim split only
 
-    # x-interp per (roi, output row): (p, W) @ (W, C). Static unroll: Pallas TPU
-    # cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
-    for r in range(rb):
-        for py in range(p):
-            row = jnp.dot(wx_ref[r], tmp[r, py], preferred_element_type=jnp.float32)
-            out_ref[r, py] = row.astype(out_ref.dtype)  # (p_x, C)
+    # x-interp per (roi, output row): (p_x, W) @ (W, C). Static unroll: Pallas
+    # TPU cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
+    for k in range(rbp):
+        row = jnp.dot(wx_ref[k // p], tmp[k], preferred_element_type=jnp.float32)
+        out_ref[k] = row.astype(out_ref.dtype)  # (p_x, C)
 
 
 def _forward(features, wy, wx, interpret=False):
@@ -52,18 +55,19 @@ def _forward(features, wy, wx, interpret=False):
     rb = min(ROI_BLOCK, r)
     assert r % rb == 0, (r, rb)
     fm = features.reshape(h, w * c)
-    return pl.pallas_call(
-        _kernel,
+    out = pl.pallas_call(
+        partial(_kernel, p=p),
         grid=(r // rb,),
         in_specs=[
-            pl.BlockSpec((rb, p, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb * p, h), lambda i: (i, 0)),
             pl.BlockSpec((rb, p, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((h, w * c), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((rb, p, p, c), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        out_specs=pl.BlockSpec((rb * p, p, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r * p, p, c), jnp.float32),
         interpret=interpret,
-    )(wy, wx, fm)
+    )(wy.reshape(r * p, h), wx, fm)
+    return out.reshape(r, p, p, c)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
