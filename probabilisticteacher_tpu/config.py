@@ -189,6 +189,8 @@ def get_cfg() -> CfgNode:
     c.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
     c.MODEL.RPN.NMS_THRESH = 0.7
     c.MODEL.RPN.CONV_DIMS = (-1,)
+    # TPU-native addition: "greedy" (exact NMS, parity) | "maxpool" (fast approx)
+    c.MODEL.RPN.NMS_IMPL = "greedy"
 
     c.MODEL.ROI_HEADS = CfgNode()
     c.MODEL.ROI_HEADS.NAME = "GuassianROIHead"

@@ -92,7 +92,8 @@ class Arch:
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     compute_dtype: str = "float32"
-    roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather"
+    roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather" | "pallas"
+    rpn_nms_impl: str = "greedy"  # "greedy" (exact, parity) | "maxpool" (fast approx)
     remat_backbone: bool = False  # jax.checkpoint the conv stack (memory <-> FLOPs)
     freeze_at: int = 2  # frozen VGG blocks (MODEL.BACKBONE.FREEZE_AT)
 
@@ -141,6 +142,7 @@ class Arch:
             pixel_std=tuple(m.PIXEL_STD),
             compute_dtype="bfloat16" if cfg.SOLVER.AMP.ENABLED else "float32",
             remat_backbone=bool(m.BACKBONE.get("REMAT", False)),
+            rpn_nms_impl=m.RPN.get("NMS_IMPL", "greedy"),
             freeze_at=int(m.BACKBONE.FREEZE_AT),
         )
 
@@ -233,7 +235,7 @@ class PTDetector:
 
     # ------------------------------------------------------------- proposals
     def predict_proposals(
-        self, anchors, obj, deltas, image_hw, training: bool
+        self, anchors, obj, deltas, image_hw, training: bool, grid_hw=None
     ) -> Proposals:
         """find_top_rpn_proposals (``proposal_utils.py:27-154``), static shapes.
 
@@ -252,6 +254,24 @@ class PTDetector:
         anchors = jax.lax.stop_gradient(anchors)
         obj = jax.lax.stop_gradient(obj)
         deltas = jax.lax.stop_gradient(deltas)
+
+        if a.rpn_nms_impl == "maxpool" and grid_hw is not None:
+            from ..ops.maxpool_nms import maxpool_nms_select
+
+            def per_image_mp(obj_i, deltas_i, hw):
+                rescale = 1.0 - jnp.mean(jax.nn.sigmoid(deltas_i[:, 4:]), axis=-1)
+                scores = obj_i * rescale
+                kidx, kvalid = maxpool_nms_select(scores, grid_hw, self.A, post)
+                anc = jnp.take(anchors, kidx, axis=0)
+                d = jnp.take(deltas_i, kidx, axis=0)
+                boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
+                boxes = box_ops.clip_boxes(boxes, hw)
+                kvalid &= box_ops.nonempty(boxes, a.rpn_min_size)
+                kvalid &= jnp.all(jnp.isfinite(boxes), axis=-1)
+                return boxes, jnp.take(scores, kidx), kvalid
+
+            pb, ps, pv = jax.vmap(per_image_mp)(obj, deltas, image_hw)
+            return Proposals(pb, ps, pv)
 
         def per_image(obj_i, deltas_i, hw):
             scores, idx = jax.lax.top_k(obj_i, pre)
@@ -354,7 +374,8 @@ class PTDetector:
         obj, deltas = self.rpn_predict(params, feat)
         anchors = jax.lax.stop_gradient(self.anchors(params, feat.shape[1], feat.shape[2]))
         losses = self.rpn_supervised_losses(anchors, obj, deltas, gt, kr)
-        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=True)
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                           training=True, grid_hw=feat.shape[1:3])
         losses.update(self.roi_supervised_losses(params, feat, proposals, gt, ko))
         return losses
 
@@ -367,7 +388,8 @@ class PTDetector:
         feat = self.features(params, images)
         obj, deltas = self.rpn_predict(params, feat)
         anchors = self.anchors(params, feat.shape[1], feat.shape[2])
-        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=True)
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                           training=True, grid_hw=feat.shape[1:3])
         det = self._roi_inference(params, feat, proposals, images.image_hw)
         out = PseudoLabels(boxes=det.boxes, logits=det.logits, sigma=det.sigma, valid=det.valid)
         return jax.tree.map(jax.lax.stop_gradient, out)
@@ -377,7 +399,8 @@ class PTDetector:
         feat = self.features(params, images)
         obj, deltas = self.rpn_predict(params, feat)
         anchors = self.anchors(params, feat.shape[1], feat.shape[2])
-        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw, training=False)
+        proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                           training=False, grid_hw=feat.shape[1:3])
         return self._roi_inference(params, feat, proposals, images.image_hw)
 
     def _roi_inference(self, params, feat, proposals: Proposals, image_hw) -> Detections:
@@ -469,7 +492,8 @@ class PTDetector:
         ) / normalizer
 
         # ---- ROI soft losses -------------------------------------------------
-        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw, training=True)
+        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
+                                           training=True, grid_hw=feat.shape[1:3])
         b = a.unsup_roi_budget
 
         def roi_keep_one(pboxes, plogits, psigma, pvalid, prop_boxes, prop_valid):

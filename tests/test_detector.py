@@ -148,3 +148,22 @@ def test_step_determinism(setup):
         assert float(l1[k]) == float(l2[k]), k
     l3 = f(params, images, gt, jax.random.key(43))
     assert any(float(l1[k]) != float(l3[k]) for k in l1)  # sampling rng has effect
+
+
+def test_maxpool_nms_impl(setup):
+    """Opt-in MaxpoolNMS proposal path: valid shapes, local-maxima semantics."""
+    from probabilisticteacher_tpu.ops.maxpool_nms import maxpool_keep
+
+    # keep semantics on a hand-built grid
+    g = jnp.zeros((4, 4, 2)).at[1, 1, 0].set(5.0).at[1, 2, 0].set(3.0).at[3, 3, 1].set(2.0)
+    keep = np.asarray(maxpool_keep(g))
+    assert keep[1, 1, 0] and not keep[1, 2, 0]  # 3.0 suppressed by neighbor 5.0
+    assert keep[3, 3, 1]
+
+    det0, params, images, gt = setup
+    arch = TINY.__class__(**{**TINY.__dict__, "rpn_nms_impl": "maxpool"})
+    det = PTDetector(arch)
+    losses = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    d = jax.jit(det.detect)(params, images)
+    assert d.boxes.shape == (2, 8, 4)
