@@ -92,7 +92,7 @@ class Arch:
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     compute_dtype: str = "float32"
-    roi_align_impl: str = "mxu"  # "mxu" (interp matmuls) | "gather" | "pallas"
+    roi_align_impl: str = "auto"  # "auto" (pallas on TPU) | "mxu" | "gather" | "pallas"
     rpn_nms_impl: str = "greedy"  # "greedy" (exact, parity) | "maxpool" (fast approx)
     remat_backbone: bool = False  # jax.checkpoint the conv stack (memory <-> FLOPs)
     freeze_at: int = 2  # frozen VGG blocks (MODEL.BACKBONE.FREEZE_AT)

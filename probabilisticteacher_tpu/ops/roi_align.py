@@ -191,6 +191,19 @@ def roi_align_batched(
     over ROIs (``roi_chunk``) bounds that to ~100s of MB regardless of R (the
     teacher pass pools 2000 ROIs/image).
     """
+    if impl == "auto":
+        # fused Pallas kernel on TPU (fastest, benchmarked 1.8x over the XLA
+        # matmul path on the teacher pass); XLA matmuls elsewhere. The kernel
+        # needs the ROI count divisible by its block and a VMEM-resident
+        # feature map.
+        from .roi_align_pallas import ROI_BLOCK
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and boxes.shape[1] % min(ROI_BLOCK, boxes.shape[1]) == 0
+            and features.shape[1] * features.shape[2] * features.shape[3] <= 4_000_000
+        )
+        impl = "pallas" if use_pallas else "mxu"
     if impl == "pallas":
         from .roi_align_pallas import roi_align_pallas
 
