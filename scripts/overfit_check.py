@@ -22,12 +22,15 @@ def main():
     p.add_argument("--iters", type=int, default=150)
     p.add_argument("--burnup", type=int, default=120)
     p.add_argument("--device", default="cpu")
+    p.add_argument("--amp", action="store_true", help="bf16 compute (TPU numeric path)")
     args = p.parse_args()
 
-    if args.device == "cpu":
-        import jax
+    import jax
 
+    if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from synthetic_data import CLASSES, make_voc_dataset
 
@@ -67,7 +70,7 @@ def main():
     cfg.SOLVER.WARMUP_ITERS = 10
     cfg.SOLVER.STEPS = (10_000,)
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
-    cfg.SOLVER.AMP.ENABLED = False
+    cfg.SOLVER.AMP.ENABLED = bool(args.amp)
     cfg.TEST.EVAL_PERIOD = 0
     cfg.TEST.EVALUATOR = "VOCeval"
     cfg.INPUT.MIN_SIZE_TRAIN = (96,)
