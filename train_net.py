@@ -43,6 +43,15 @@ def setup(args):
 
 def main(args):
     cfg = setup(args)
+
+    # Multi-host (pod) runs: the reference spawns per-GPU processes via
+    # detectron2 launch (train_net.py:90-97); the JAX equivalent is one process
+    # per host joining a global runtime. Single-host/single-chip runs skip this.
+    if args.num_machines > 1 or os.environ.get("COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
     from probabilisticteacher_tpu.engine.trainer import PTrainer
 
     assert cfg.UNSUPNET.Trainer == "pt", f"Unknown trainer: {cfg.UNSUPNET.Trainer}"
