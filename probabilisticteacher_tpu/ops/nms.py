@@ -147,12 +147,27 @@ def nms(
         jnp.zeros((max_keep,), dtype=jnp.int32),
         jnp.int32(0),
     )
-    blks = (
-        boxes_s.reshape(num_blocks, b, 4),
-        valid_s.reshape(num_blocks, b),
-        order.reshape(num_blocks, b),
+    blk_boxes = boxes_s.reshape(num_blocks, b, 4)
+    blk_valid = valid_s.reshape(num_blocks, b)
+    blk_order = order.reshape(num_blocks, b)
+
+    # while-loop over blocks with EARLY EXIT once the keep budget is full —
+    # processing in score order makes this exact: a full buffer means no later
+    # box can be kept, and kept boxes are never revised. For the RPN's
+    # 12000 -> 2000 this typically skips half the blocks.
+    def cond(state):
+        i, carry = state
+        return jnp.logical_and(i < num_blocks, carry[3] < max_keep)
+
+    def body(state):
+        i, carry = state
+        blk = (blk_boxes[i], blk_valid[i], blk_order[i])
+        carry, _ = block_step(carry, blk)
+        return i + 1, carry
+
+    _, (kept_boxes, kept_valid, kept_idx, _) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init)
     )
-    (kept_boxes, kept_valid, kept_idx, _), _ = jax.lax.scan(block_step, init, blks)
     return kept_idx, kept_valid
 
 
