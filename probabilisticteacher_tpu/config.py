@@ -234,8 +234,8 @@ def get_cfg() -> CfgNode:
     c.INPUT.CROP.SIZE = (0.9, 0.9)
     # TPU-native additions: static canvas + padding budgets (DESIGN.md).
     c.INPUT.CANVAS = CfgNode()
-    c.INPUT.CANVAS.WIDE = (608, 1216)   # (H, W) for w>h bucket
-    c.INPUT.CANVAS.TALL = (1216, 608)   # (H, W) for h>w bucket
+    c.INPUT.CANVAS.WIDE = (608, 1344)   # (H, W) for w>h bucket; covers MAX_SIZE 1333 (KITTI)
+    c.INPUT.CANVAS.TALL = (1344, 608)   # (H, W) for h>w bucket
     c.INPUT.MAX_GT = 100
 
     # ---------------------------- DATASETS ---------------------------------

@@ -23,6 +23,7 @@ def main():
     p.add_argument("--burnup", type=int, default=120)
     p.add_argument("--device", default="cpu")
     p.add_argument("--amp", action="store_true", help="bf16 compute (TPU numeric path)")
+    p.add_argument("--danchor", action="store_true", help="learnable anchors (anchor adaptation)")
     args = p.parse_args()
 
     import jax
@@ -51,6 +52,11 @@ def main():
     cfg.MODEL.VGG.PRETRAIN = ""
     # objects are 12-48 px; the default 128-512 anchors would never reach IoU 0.3
     cfg.MODEL.ANCHOR_GENERATOR.SIZES = ((16, 32, 64),)
+    if args.danchor:
+        cfg.MODEL.ANCHOR_GENERATOR.NAME = "DifferentiableAnchorGenerator"
+        cfg.MODEL.ANCHOR_GENERATOR.ANCHOR = (((16.0, 16.0), (32.0, 32.0), (64.0, 64.0),
+                                              (12.0, 24.0), (24.0, 48.0), (48.0, 96.0),
+                                              (24.0, 12.0), (48.0, 24.0), (96.0, 48.0)),)
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
