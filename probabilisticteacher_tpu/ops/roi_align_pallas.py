@@ -64,7 +64,9 @@ def _forward(features, wy, wx, interpret=False):
             pl.BlockSpec((h, w * c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rb * p, p, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((r * p, p, c), jnp.float32),
+        # output in the feature dtype (bf16 under AMP): halves the HBM write of
+        # the pooled tensor (~800 MB/step on the teacher's 2000 ROIs x 4 images)
+        out_shape=jax.ShapeDtypeStruct((r * p, p, c), features.dtype),
         interpret=interpret,
     )(wy.reshape(r * p, h), wx, fm)
     return out.reshape(r, p, p, c)
