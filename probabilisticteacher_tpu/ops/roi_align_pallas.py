@@ -24,7 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _interp_matrix, _sample_points
 
-ROI_BLOCK = 8  # ROIs per grid step; bounds the VMEM intermediate
+ROI_BLOCK = 4  # ROIs per grid step; bounds the VMEM intermediate (8 OOMs the
+               # 16MB scoped VMEM when combined with a bf16 output + f32 tmp)
 
 
 def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
