@@ -24,8 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _interp_matrix, _sample_points
 
-ROI_BLOCK = 4  # ROIs per grid step; bounds the VMEM intermediate (8 OOMs the
-               # 16MB scoped VMEM when combined with a bf16 output + f32 tmp)
+ROI_BLOCK = 8  # ROIs per grid step; rb*p must stay sublane-aligned (div by 8)
 
 
 def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
@@ -39,9 +38,11 @@ def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
     rb, _, w = wx_ref.shape
     c = out_ref.shape[2]
 
-    # y-interp for the whole block in one MXU matmul: (RB*p, H) @ (H, W*C)
-    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(rbp, w, c).astype(wx_ref.dtype)  # minor-dim split only
+    # y-interp for the whole block in one MXU matmul: (RB*p, H) @ (H, W*C).
+    # tmp stays in the input dtype (MXU still accumulates in f32 internally);
+    # an f32 tmp would blow the 16MB scoped-VMEM budget at block 8.
+    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=wx_ref.dtype)
+    tmp = tmp.reshape(rbp, w, c)  # minor-dim split only
 
     # x-interp per (roi, output row): (p_x, W) @ (W, C). Static unroll: Pallas
     # TPU cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
