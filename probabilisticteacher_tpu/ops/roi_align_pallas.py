@@ -39,10 +39,10 @@ def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
     c = out_ref.shape[2]
 
     # y-interp for the whole block in one MXU matmul: (RB*p, H) @ (H, W*C).
-    # tmp stays in the input dtype (MXU still accumulates in f32 internally);
-    # an f32 tmp would blow the 16MB scoped-VMEM budget at block 8.
-    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=wx_ref.dtype)
-    tmp = tmp.reshape(rbp, w, c)  # minor-dim split only
+    # Mosaic requires 32-bit matmul accumulators; the f32 tmp (8.7MB at block 8)
+    # plus an f32 out block is the VMEM ceiling — hence the f32 output below.
+    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(rbp, w, c).astype(wx_ref.dtype)  # minor-dim split only
 
     # x-interp per (roi, output row): (p_x, W) @ (W, C). Static unroll: Pallas
     # TPU cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
@@ -66,9 +66,9 @@ def _forward(features, wy, wx, interpret=False):
             pl.BlockSpec((h, w * c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rb * p, p, c), lambda i: (i, 0, 0)),
-        # output in the feature dtype (bf16 under AMP): halves the HBM write of
-        # the pooled tensor (~800 MB/step on the teacher's 2000 ROIs x 4 images)
-        out_shape=jax.ShapeDtypeStruct((r * p, p, c), features.dtype),
+        # f32 output: a bf16 out block + the f32 tmp exceeds the 16MB scoped
+        # VMEM (by 588KB); the extra HBM write costs ~2-3 ms/step — acceptable
+        out_shape=jax.ShapeDtypeStruct((r * p, p, c), jnp.float32),
         interpret=interpret,
     )(wy.reshape(r * p, h), wx, fm)
     return out.reshape(r, p, p, c)
