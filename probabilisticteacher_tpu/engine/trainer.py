@@ -114,8 +114,12 @@ class PTrainer:
             label_dicts.extend(DatasetCatalog.get(name))
         for name in self.cfg.DATASETS.TRAIN_UNLABEL:
             unlabel_dicts.extend(DatasetCatalog.get(name))
+        # multi-host: each process loads its 1/process_count slice of the global
+        # batch with a per-process sample stream; shard_batch assembles the
+        # global arrays (parallel/mesh.py)
         return SemiSupLoader(self.cfg, label_dicts, unlabel_dicts,
-                             seed=max(self.cfg.SEED, 0))
+                             seed=max(self.cfg.SEED, 0) + 9973 * jax.process_index(),
+                             world_size=jax.process_count())
 
     # --------------------------------------------------------------- restore
     def resume_or_load(self, resume: bool = False):
@@ -177,16 +181,18 @@ class PTrainer:
                 logger.info(f"Profiler trace written to {self.cfg.OUTPUT_DIR}/profile")
 
             nxt = it + 1
-            if ckpt_period and nxt % ckpt_period == 0:
+            is_main = jax.process_index() == 0  # rank-0-only ckpt/eval (trainer.py:522-527)
+            if ckpt_period and nxt % ckpt_period == 0 and is_main:
                 save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
                 logger.info(f"Checkpoint saved at iter {nxt}")
-            if eval_period and nxt % eval_period == 0:
+            if eval_period and nxt % eval_period == 0 and is_main:
                 # reference suffixes the student keys and leaves the teacher's
                 # plain — the headline metric tracks the teacher (trainer.py:529-542)
                 self.eval_and_log(suffix="_student", params=self.state.student)
                 self.eval_and_log(suffix="", params=self.state.teacher)
 
-        save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
+        if jax.process_index() == 0:
+            save_checkpoint(self.cfg.OUTPUT_DIR, jax.device_get(self.state))
         results = self.test(self.state.teacher)
         self.verify_results(results)
         return results

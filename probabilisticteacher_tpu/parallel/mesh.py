@@ -25,11 +25,21 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Me
 
 
 def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
-    """Place every array leaf with its leading dim sharded over the mesh axis."""
+    """Place every array leaf with its leading dim sharded over the mesh axis.
+
+    Single-process: a plain device_put. Multi-host (pod): each process feeds its
+    LOCAL slice of the global batch (the loader is built with
+    world_size=process_count) and the pieces are assembled into global arrays
+    with jax.make_array_from_process_local_data — the JAX-native equivalent of
+    the reference's per-rank DataLoader shards (``pt/data/build.py:173-187``).
+    """
     sharding = NamedSharding(mesh, P(axis_name))
 
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
     def put(x):
-        return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree.map(put, tree)
 
