@@ -31,7 +31,7 @@ import numpy as np
 V100_BASELINE_IMG_PER_SEC = 55.0
 
 
-def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets):
+def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets, maxpool_nms=False):
     import jax
 
     from probabilisticteacher_tpu.config import get_cfg
@@ -52,6 +52,8 @@ def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets):
      cfg.TEST.DETECTIONS_PER_IMAGE) = budgets
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = budgets[0]
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = budgets[1]
+    if maxpool_nms:
+        cfg.MODEL.RPN.NMS_IMPL = "maxpool"
 
     arch = Arch.from_cfg(cfg)
     det = PTDetector(arch)
@@ -90,6 +92,8 @@ def main(argv=None):
     p.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
     p.add_argument("--batch", type=int, default=0)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--maxpool-nms", action="store_true",
+                   help="opt-in approximate RPN NMS (MODEL.RPN.NMS_IMPL maxpool)")
     args = p.parse_args(argv)
 
     if args.smoke:
@@ -115,18 +119,18 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     try:
-        return _run(batch, canvas, depth, amp, budgets, iters)
+        return _run(batch, canvas, depth, amp, budgets, iters, args.maxpool_nms)
     except Exception as e:  # TPU worker crash / OOM: retry smaller before giving up
         print(f"bench failed at batch {batch}: {e}", file=sys.stderr)
         if batch > 2 and not args.smoke:
-            return _run(max(2, batch // 2), canvas, depth, amp, budgets, iters)
+            return _run(max(2, batch // 2), canvas, depth, amp, budgets, iters, args.maxpool_nms)
         raise
 
 
-def _run(batch, canvas, depth, amp, budgets, iters):
+def _run(batch, canvas, depth, amp, budgets, iters, maxpool_nms=False):
     import jax
 
-    mutual, state, batches = build(batch, canvas, depth, amp, budgets)
+    mutual, state, batches = build(batch, canvas, depth, amp, budgets, maxpool_nms)
     limg, lgt, uimg = batches
     key = jax.random.key(0)
 
