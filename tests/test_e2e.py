@@ -129,3 +129,27 @@ def test_trainer_end_to_end(voc_tree, tmp_path):
     vl = trainer2.validation_loss(trainer2.state.student, name + "_v", max_batches=2)
     assert set(vl) == {"val_loss_rpn_cls", "val_loss_rpn_loc", "val_loss_cls", "val_loss_box_reg"}
     assert all(np.isfinite(v) for v in vl.values())
+
+
+def test_mapper_random_crop(voc_tree):
+    """INPUT.CROP path (dataset_mapper.py:51-59; off in all PT configs)."""
+    from probabilisticteacher_tpu.data.loader import Mapper, random_crop
+
+    img = np.zeros((80, 120, 3), np.uint8)
+    boxes = np.asarray([[10.0, 10.0, 60.0, 50.0]], np.float32)
+    rng = np.random.Generator(np.random.PCG64(0))
+    out, ob = random_crop(img, boxes.copy(), "relative", (0.5, 0.5), rng)
+    assert out.shape == (40, 60, 3)
+    assert (ob[:, 0::2] <= 60).all() and (ob[:, 1::2] <= 40).all()
+    out2, _ = random_crop(img, boxes.copy(), "absolute", (32, 48), rng)
+    assert out2.shape == (32, 48, 3)
+
+    cfg = micro_cfg(voc_tree, "l", "u", "v")
+    cfg.INPUT.CROP.ENABLED = True
+    m = Mapper(cfg, is_train=True)
+    assert not m.use_native  # crop falls back to the PIL path
+    from probabilisticteacher_tpu.data.datasets import load_voc_instances
+    from synthetic_data import CLASSES
+    d = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)[0]
+    rec = m(d, rng)
+    assert rec["image"].shape == (48, 96, 3)
