@@ -202,6 +202,9 @@ def roi_align_batched(
             jax.default_backend() == "tpu"
             and boxes.shape[1] % min(ROI_BLOCK, boxes.shape[1]) == 0
             and features.shape[1] * features.shape[2] * features.shape[3] <= 4_000_000
+            # vmap widths > 4 push Mosaic's scoped-VMEM stack past 16MB
+            # (observed at batch 8: 17.51M); the XLA path takes over there
+            and features.shape[0] <= 4
         )
         impl = "pallas" if use_pallas else "mxu"
     if impl == "pallas":
