@@ -153,3 +153,16 @@ def test_mapper_random_crop(voc_tree):
     d = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)[0]
     rec = m(d, rng)
     assert rec["image"].shape == (48, 96, 3)
+
+
+def test_unlabeled_stream_without_annotations(voc_tree):
+    """COCO-unlabeled-style target stream: records with no annotations flow through."""
+    cfg = micro_cfg(voc_tree, "l", "u", "v")
+    label = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)
+    unlabel = load_voc_instances(os.path.join(voc_tree, "tgt"), "train", CLASSES)
+    for d in unlabel:
+        d["annotations"] = []  # unlabeled: images only (builtin.py:86-118)
+    loader = SemiSupLoader(cfg, label, unlabel, seed=0)
+    batch = next(iter(loader))
+    assert not batch["unlabel"]["gt_valid"].any()
+    assert batch["label"]["gt_valid"].any()
