@@ -48,6 +48,12 @@ def create_train_state(detector: PTDetector, tx: optax.GradientTransformation,
     )
 
 
+def _sum_losses(d):
+    """Sum only loss_* entries (dicts also carry sampling stats for EventStorage,
+    matching the reference's key[:4] == 'loss' filter, ``trainer.py:283-286``)."""
+    return sum(v for k, v in d.items() if k.startswith("loss"))
+
+
 def ema_update(teacher, student, keep_rate):
     """teacher <- student * (1 - keep) + teacher * keep (``trainer.py:431-449``)."""
     return jax.tree.map(lambda t, s: s * (1.0 - keep_rate) + t * keep_rate, teacher, student)
@@ -69,7 +75,7 @@ def make_train_steps(
         updates, new_opt = tx.update(grads, state.opt_state, state.student)
         new_student = optax.apply_updates(state.student, updates)
         metrics = dict(losses)
-        metrics["total_loss"] = sum(losses.values())
+        metrics["total_loss"] = _sum_losses(losses)
         return (
             TrainState(state.step + 1, new_student, new_teacher, new_opt),
             metrics,
@@ -94,7 +100,7 @@ def make_train_steps(
 
         def loss_fn(params):
             losses = detector.supervised_losses(params, batch, gt, k_sup)
-            return sum(losses.values()), losses
+            return _sum_losses(losses), losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
         return _apply_updates(state, grads, losses, state.teacher)
@@ -144,7 +150,7 @@ def make_train_steps(
             unsup = detector.unsupervised_losses(params, batch_u, pseudo_j, None)
             losses = {k + "_sup": v for k, v in sup.items()}
             losses.update({k + "_unsup": v for k, v in unsup.items()})
-            total = w_sup * sum(sup.values()) + w_unsup * sum(unsup.values())
+            total = w_sup * _sum_losses(sup) + w_unsup * _sum_losses(unsup)
             return total, losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)

@@ -241,7 +241,7 @@ class PTrainer:
             for k, v in losses.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
-        return {f"val_{k}": v / max(n, 1) for k, v in totals.items()}
+        return {f"val_{k}": v / max(n, 1) for k, v in totals.items() if k.startswith("loss")}
 
     def test(self, params, max_images: int = 0) -> Dict[str, float]:
         style = "voc" if self.cfg.TEST.EVALUATOR == "VOCeval" else "coco"

@@ -315,7 +315,13 @@ class PTDetector:
         loc_loss = L.prob_box_nll_sum(deltas[..., :4], deltas[..., 4:], gt_deltas, pos, a.model_type)
         normalizer = a.rpn_batch_per_image * n
         w = a.rpn_loss_weight
-        return {"loss_rpn_cls": w * obj_loss / normalizer, "loss_rpn_loc": w * loc_loss / normalizer}
+        return {
+            "loss_rpn_cls": w * obj_loss / normalizer,
+            "loss_rpn_loc": w * loc_loss / normalizer,
+            # per-image sampling stats (reference rpn.py:226-228 via EventStorage)
+            "rpn/num_pos_anchors": jnp.sum(pos) / n,
+            "rpn/num_neg_anchors": jnp.sum(neg) / n,
+        }
 
     # --------------------------------------------------------- ROI sup losses
     def roi_supervised_losses(
@@ -362,7 +368,13 @@ class PTDetector:
         gt_deltas = get_deltas(s_boxes, s_matched, a.roi_reg_weights)
         total = jnp.maximum(jnp.sum(s_valid.astype(jnp.float32)), 1.0)
         loss_box = L.prob_box_nll_sum(sel[..., :4], sel[..., 4:], gt_deltas, s_fg, a.model_type) / total
-        return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+        return {
+            "loss_cls": loss_cls,
+            "loss_box_reg": loss_box,
+            # sampling stats (reference roi_heads.py:247-253 via EventStorage)
+            "roi_head/num_fg_samples": jnp.sum(s_fg) / n,
+            "roi_head/num_bg_samples": jnp.sum(s_valid & ~s_fg) / n,
+        }
 
     # ------------------------------------------------------ supervised branch
     def supervised_losses(

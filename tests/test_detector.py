@@ -52,7 +52,9 @@ def setup():
 def test_supervised_losses_finite(setup):
     det, params, images, gt = setup
     losses = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
-    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"}
+    assert {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"} <= set(losses)
+    # sampling stats ride along for EventStorage (rpn.py:226-228, roi_heads.py:247-253)
+    assert losses["rpn/num_pos_anchors"] >= 0 and losses["roi_head/num_fg_samples"] >= 0
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
         assert float(v) >= 0 or k == "loss_rpn_loc"  # NLL of a pdf can go negative
