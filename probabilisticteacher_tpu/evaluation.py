@@ -174,11 +174,8 @@ def evaluate_detections(detector, params, loader, class_names, style="voc",
                 np.asarray([a.get("difficult", 0) for a in annos], bool).reshape(-1),
             )
     fn = jit_fn or jax.jit(detector.detect)
-    for i, batch in enumerate(loader):
-        if max_images and i >= max_images:
-            break
-        images = ImageBatch(batch["image"], batch["image_hw"])
-        dets = fn(params, images)
+
+    def consume(batch, dets):
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         classes = np.asarray(dets.classes)
@@ -198,4 +195,17 @@ def evaluate_detections(detector, params, loader, class_names, style="voc",
             evaluator.add_detections(
                 image_id, boxes[j][v] / scale, scores[j][v], classes[j][v]
             )
+
+    # pipelined: dispatch batch i, then fetch/accumulate batch i-1 while the
+    # device runs (host fetch latency on tunneled backends is ~57 ms/roundtrip)
+    pending = None
+    for i, batch in enumerate(loader):
+        if max_images and i >= max_images:
+            break
+        dets = fn(params, ImageBatch(batch["image"], batch["image_hw"]))
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, dets)
+    if pending is not None:
+        consume(*pending)
     return evaluator.evaluate()
