@@ -168,7 +168,13 @@ class PTrainer:
 
             self.storage.iter = it
             if pending is not None and (it % self.write_period == 0 or it == self.max_iter - 1):
-                host = {k: float(v) for k, v in pending.items()}
+                # fetch all scalars in ONE device->host transfer (per-scalar
+                # fetches cost a full RPC roundtrip each on tunneled backends)
+                import jax.numpy as jnp
+
+                names = list(pending)
+                vals = np.asarray(jnp.stack([pending[k] for k in names]))
+                host = dict(zip(names, vals.tolist()))
                 host["data_time"] = data_time
                 self.storage.put_scalars(**host)
                 for w in self.writers:
