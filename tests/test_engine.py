@@ -163,3 +163,28 @@ def test_frozen_backbone_blocks():
     b3 = updates["backbone"]["block3_conv1"]["kernel"]
     assert float(jnp.abs(b1).sum()) == 0.0
     assert float(jnp.abs(b3).sum()) > 0.0
+
+
+def test_metric_naming_and_total_excludes_stats():
+    """Mutual metrics use the reference's *_sup/*_unsup naming (trainer.py:352-371);
+    total_loss sums only loss_* keys (trainer.py:283-286)."""
+    cfg = tiny_cfg()
+    cfg.UNSUPNET.BURN_UP_STEP = 0
+    det = PTDetector(TINY)
+    state = create_train_state(det, build_optimizer(cfg, det.init(jax.random.key(0), (H, W))),
+                               jax.random.key(0), (H, W))
+    tx = build_optimizer(cfg, state.student)
+    _, mutual = make_train_steps(cfg, det, tx)
+    rng = np.random.RandomState(0)
+    img = ImageBatch(jnp.asarray(rng.randint(0, 255, (2, H, W, 3)).astype(np.float32)),
+                     jnp.asarray([[48.0, 48.0]] * 2))
+    gt = GroundTruth(jnp.asarray([[[4.0, 4.0, 24.0, 24.0]]] * 2),
+                     jnp.zeros((2, 1), jnp.int32), jnp.ones((2, 1), bool))
+    state, m = mutual(state, img, gt, img, jax.random.key(1))
+    assert {"loss_rpn_cls_sup", "loss_rpn_loc_sup", "loss_cls_sup", "loss_box_reg_sup",
+            "loss_rpn_cls_unsup", "loss_rpn_loc_unsup", "loss_cls_unsup",
+            "loss_box_reg_unsup", "total_loss"} <= set(m)
+    # sampling stats present but excluded from the total
+    assert "rpn/num_pos_anchors_sup" in m and "roi_head/num_fg_samples_sup" in m
+    loss_sum = sum(float(v) for k, v in m.items() if k.startswith("loss"))
+    np.testing.assert_allclose(float(m["total_loss"]), loss_sum, rtol=1e-5)
