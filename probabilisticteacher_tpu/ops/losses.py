@@ -58,9 +58,14 @@ def efl_class_weight(teacher_logits: jnp.ndarray, lam: float) -> jnp.ndarray:
     """Entropy Focal Loss weight from teacher class logits (``rpn.py:285-290``).
 
     w = (1 - H(softmax(t)) / log(n)) ** lam, per row.
+
+    Hardening vs the reference: p * log(p) is evaluated as 0 at p == 0 (extreme
+    logits can underflow the softmax to exactly 0 in f32; the reference's
+    ``temp * torch.log(temp)`` would produce NaN there).
     """
     p = jax.nn.softmax(teacher_logits, axis=-1)
-    entropy = -jnp.sum(p * jnp.log(p), axis=-1)
+    plogp = jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
+    entropy = -jnp.sum(plogp, axis=-1)
     max_entropy = math.log(teacher_logits.shape[-1])
     return (1.0 - entropy / max_entropy) ** lam
 
