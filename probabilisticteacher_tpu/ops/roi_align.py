@@ -198,13 +198,15 @@ def roi_align_batched(
         # feature map.
         from .roi_align_pallas import ROI_BLOCK
 
+        n_img, r_roi = features.shape[0], boxes.shape[1]
         use_pallas = (
             jax.default_backend() == "tpu"
-            and boxes.shape[1] % min(ROI_BLOCK, boxes.shape[1]) == 0
+            and r_roi % min(ROI_BLOCK, r_roi) == 0
             and features.shape[1] * features.shape[2] * features.shape[3] <= 4_000_000
-            # vmap widths > 4 push Mosaic's scoped-VMEM stack past 16MB
-            # (observed at batch 8: 17.51M); the XLA path takes over there
-            and features.shape[0] <= 4
+            # Mosaic's scoped-VMEM buffering grows with the vmap grid; the only
+            # observed OOM is width 8 x 2000 ROIs (17.51M > 16M). Width 8 x 512
+            # (the supervised path) compiles and runs fine.
+            and (n_img <= 4 or (n_img <= 8 and r_roi <= 512))
         )
         impl = "pallas" if use_pallas else "mxu"
     if impl == "pallas":
