@@ -93,7 +93,7 @@ def nms(
     valid: jnp.ndarray,
     iou_thresh: float | jnp.ndarray,
     max_keep: int,
-    block_size: int = 2048,
+    block_size: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over (K, 4) boxes.
 
@@ -178,7 +178,7 @@ def batched_nms(
     valid: jnp.ndarray,
     iou_thresh: float | jnp.ndarray,
     max_keep: int,
-    block_size: int = 2048,
+    block_size: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Category-aware NMS via the coordinate-offset trick (torchvision ``batched_nms``).
 
