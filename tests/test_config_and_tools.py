@@ -178,3 +178,61 @@ def test_vgg_caffe_import_roundtrip(tmp_path):
                                raw["features.28.bias"])
     # non-backbone params untouched
     assert new["rpn_head"] is params["rpn_head"]
+
+
+def test_auto_scale_config():
+    """detectron2 auto_scale_workers semantics via REFERENCE_BATCH_SIZE."""
+    from probabilisticteacher_tpu.solver import auto_scale_config
+
+    cfg = get_cfg()
+    cfg.SOLVER.REFERENCE_BATCH_SIZE = 16
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 32  # 2x reference
+    cfg.SOLVER.BASE_LR = 0.016
+    cfg.SOLVER.MAX_ITER = 30000
+    cfg.SOLVER.WARMUP_ITERS = 400
+    cfg.SOLVER.STEPS = (30000,)
+    cfg.SOLVER.CHECKPOINT_PERIOD = 4000
+    cfg.UNSUPNET.BURN_UP_STEP = 4000
+    auto_scale_config(cfg)
+    assert cfg.SOLVER.BASE_LR == 0.032
+    assert cfg.SOLVER.MAX_ITER == 15000
+    assert cfg.SOLVER.STEPS == (15000,)
+    assert cfg.UNSUPNET.BURN_UP_STEP == 2000
+
+    # equal batch: no change
+    cfg2 = get_cfg()
+    cfg2.SOLVER.REFERENCE_BATCH_SIZE = 16
+    cfg2.SOLVER.IMG_PER_BATCH_LABEL = 16
+    lr = cfg2.SOLVER.BASE_LR
+    auto_scale_config(cfg2)
+    assert cfg2.SOLVER.BASE_LR == lr
+
+
+def test_native_loader_pil_parity(tmp_path):
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic_data import make_voc_dataset
+
+    from probabilisticteacher_tpu.data import native
+    from probabilisticteacher_tpu.data.loader import read_image_bgr, resize_shortest_edge
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native loader unavailable (no toolchain)")
+
+    root = make_voc_dataset(str(tmp_path / "d"), "train", num_images=1, hw=(80, 120), seed=5)
+    img_path = os.path.join(root, "JPEGImages", os.listdir(os.path.join(root, "JPEGImages"))[0])
+    out = native.load_image(img_path, 48, 96, False, (48, 96))
+    assert out is not None
+    canvas, hw, scale = out
+    pil = read_image_bgr(img_path)
+    pil_r, _, pscale = resize_shortest_edge(pil, np.zeros((0, 4), np.float32), 48, 96)
+    assert (int(hw[0]), int(hw[1])) == pil_r.shape[:2]
+    assert abs(scale - pscale) < 1e-6
+    diff = np.abs(canvas[: pil_r.shape[0], : pil_r.shape[1]].astype(int) - pil_r.astype(int))
+    assert diff.max() <= 2  # PIL uses 8-bit fixed-point coefficients
+    # flip parity
+    out_f = native.load_image(img_path, 48, 96, True, (48, 96))
+    cf = out_f[0][: pil_r.shape[0], : pil_r.shape[1]]
+    diff_f = np.abs(cf.astype(int) - pil_r[:, ::-1].astype(int))
+    assert diff_f.max() <= 2
