@@ -313,3 +313,30 @@ class TestNMSStress:
                                  jnp.ones(n, bool), 0.5, max_keep=n, block_size=128)
             got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
             assert got == list(keep_oracle), trial
+
+
+class TestMaxpoolNMSSelect:
+    def test_select_semantics(self):
+        from probabilisticteacher_tpu.ops.maxpool_nms import maxpool_nms_select
+
+        rng = np.random.RandomState(3)
+        h, w, a = 6, 8, 3
+        scores = rng.randn(h * w * a).astype(np.float32)
+        idx, valid = maxpool_nms_select(jnp.asarray(scores), (h, w), a, post_topk=10)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+
+        # brute-force local-maxima reference
+        grid = scores.reshape(h, w, a)
+        keep_ref = np.zeros_like(grid, bool)
+        for y in range(h):
+            for x in range(w):
+                for c in range(a):
+                    nb = grid[max(0, y-1):y+2, max(0, x-1):x+2, c]
+                    keep_ref[y, x, c] = (grid[y, x, c] >= nb.max()
+                                          and grid[y, x, c] >= grid[y, x].max())
+        kept_scores = np.sort(grid[keep_ref])[::-1][:10]
+        got_scores = np.sort(scores[idx[valid]])[::-1]
+        np.testing.assert_allclose(got_scores, kept_scores[: valid.sum()], rtol=1e-6)
+        # selected are sorted descending by score
+        s = scores[idx[valid]]
+        assert (np.diff(s) <= 1e-6).all()
