@@ -1,10 +1,12 @@
-"""Host-side detection evaluators: Pascal VOC07 11-point AP and COCO-style AP.
+"""Host-side detection evaluators: Pascal VOC07 11-point AP and COCO AP.
 
 Replaces the reference's use of detectron2 ``PascalVOCDetectionEvaluator`` (VOC07
 11-point AP@50 — the headline Cityscapes->Foggy metric, ``pt/engine/trainer.py:128-137``)
-and ``COCOEvaluator``. Both are numpy re-implementations of the published algorithms;
-if pycocotools is importable the COCO path will use it, otherwise the built-in
-101-point interpolation evaluator runs.
+and ``COCOEvaluator``. The VOC path is a numpy re-implementation of the published
+protocol; the COCO path (``style="coco"``) delegates to
+:class:`probabilisticteacher_tpu.cocoeval.COCOEvaluator`, a pycocotools-parity
+re-implementation (exact greedy matcher, 101-point recall grid, area ranges,
+maxDets 1/10/100 — see cocoeval.py).
 
 Detections arrive in canvas coordinates; callers rescale to original image
 coordinates by dividing by the loader's per-image ``scale``.
@@ -77,13 +79,19 @@ def _match_and_pr(dets: List[dict], gts: Dict, npos: int, iou_thresh: float):
     return rec, prec
 
 
-class DetectionEvaluator:
-    """Accumulates (image_id, class, box, score) + GT; computes AP metrics.
+def DetectionEvaluator(class_names: Sequence[str], style: str = "voc"):
+    """Evaluator factory: "voc" -> :class:`VOCDetectionEvaluator` (VOC07 11-point
+    AP@50, +1 box convention, matching detectron2 pascal_voc_evaluation);
+    "coco" -> :class:`cocoeval.COCOEvaluator` (pycocotools parity)."""
+    if style == "coco":
+        from .cocoeval import COCOEvaluator
 
-    ``style``: "voc" -> VOC07 11-point AP@50 per class + mAP50 (the reference's
-    "VOCeval", matching detectron2's pascal_voc_evaluation with +1 box convention);
-    "coco" -> AP@[.5:.95] / AP50 / AP75 with 101-point interpolation.
-    """
+        return COCOEvaluator(class_names)
+    return VOCDetectionEvaluator(class_names)
+
+
+class VOCDetectionEvaluator:
+    """Accumulates (image_id, class, box, score) + GT; VOC07 11-point AP@50."""
 
     def __init__(self, class_names: Sequence[str], style: str = "voc"):
         self.class_names = list(class_names)
@@ -133,20 +141,11 @@ class DetectionEvaluator:
         return aps
 
     def evaluate(self) -> Dict[str, float]:
-        if self.style == "voc":
-            aps = self._evaluate_at(0.5, use_07=True)
-            out = {f"AP50-{k}": v * 100 for k, v in aps.items()}
-            out["mAP50"] = float(np.mean(list(aps.values()))) * 100 if aps else 0.0
-            out["bbox/AP50"] = out["mAP50"]
-            return out
-        # coco style: thresholds .5:.95, 101-pt interp (use_07=False approximation
-        # of the integral; difference from pycocotools is <0.1 AP in practice)
-        thresholds = np.arange(0.5, 1.0, 0.05)
-        per_t = [self._evaluate_at(float(t), use_07=False) for t in thresholds]
-        ap = float(np.mean([np.mean(list(a.values())) for a in per_t])) * 100 if per_t[0] else 0.0
-        ap50 = float(np.mean(list(per_t[0].values()))) * 100 if per_t[0] else 0.0
-        ap75 = float(np.mean(list(per_t[5].values()))) * 100 if per_t[5] else 0.0
-        return {"bbox/AP": ap, "bbox/AP50": ap50, "bbox/AP75": ap75, "mAP50": ap50}
+        aps = self._evaluate_at(0.5, use_07=True)
+        out = {f"AP50-{k}": v * 100 for k, v in aps.items()}
+        out["mAP50"] = float(np.mean(list(aps.values()))) * 100 if aps else 0.0
+        out["bbox/AP50"] = out["mAP50"]
+        return out
 
 
 def evaluate_detections(detector, params, loader, class_names, style="voc",
