@@ -25,7 +25,13 @@ def _ckpt_dir(output_dir: str, step: int) -> str:
 
 
 def save_checkpoint(output_dir: str, state, keep: int = 100) -> str:
-    """Save TrainState at its current step; update the last_checkpoint marker."""
+    """Save TrainState at its current step; update the last_checkpoint marker.
+
+    ``keep`` bounds retention: after a successful save, older ``model_*``
+    directories beyond the newest ``keep`` are deleted (a full ensemble +
+    optimizer checkpoint is ~0.5-1.5 GB; a 30k-iter run at CHECKPOINT_PERIOD
+    4000 would otherwise accumulate 8 of them).
+    """
     import orbax.checkpoint as ocp
 
     step = int(state.step)
@@ -34,6 +40,17 @@ def save_checkpoint(output_dir: str, state, keep: int = 100) -> str:
     ckptr.save(path, jax.device_get(state._asdict()), force=True)
     with open(os.path.join(output_dir, "last_checkpoint"), "w") as f:
         f.write(os.path.basename(path))
+    if keep > 0:
+        import re
+        import shutil
+
+        ckpts = sorted(
+            d for d in os.listdir(output_dir)
+            if re.fullmatch(r"model_\d{7}", d)
+            and os.path.isdir(os.path.join(output_dir, d))
+        )
+        for old in ckpts[:-keep]:
+            shutil.rmtree(os.path.join(output_dir, old), ignore_errors=True)
     return path
 
 

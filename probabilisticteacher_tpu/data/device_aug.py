@@ -28,11 +28,12 @@ _LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # torchvision rgb_to_gr
 
 def _blend(img1: jnp.ndarray, img2: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:
     """torchvision _blend: ratio*img1 + (1-ratio)*img2, clamped to [0, 255]."""
-    return jnp.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 255.0)
+    return jnp.clip(ratio.astype(img1.dtype) * img1
+                    + (1.0 - ratio).astype(img1.dtype) * img2, 0.0, 255.0)
 
 
 def _grayscale(img: jnp.ndarray) -> jnp.ndarray:
-    l = jnp.tensordot(img, _LUMA, axes=[[-1], [0]])
+    l = jnp.tensordot(img, _LUMA.astype(img.dtype), axes=[[-1], [0]])
     return jnp.broadcast_to(l[..., None], img.shape)
 
 
@@ -41,8 +42,9 @@ def adjust_brightness(img, factor):
 
 
 def adjust_contrast(img, factor):
-    # torchvision: blend with the mean of the grayscale image
-    mean = jnp.mean(_grayscale(img)[..., 0])
+    # torchvision: blend with the mean of the grayscale image (mean in f32:
+    # a bf16 accumulation over ~740k pixels would lose the low bits entirely)
+    mean = jnp.mean(_grayscale(img)[..., 0].astype(jnp.float32)).astype(img.dtype)
     return _blend(img, jnp.full_like(img, mean), factor)
 
 
@@ -81,10 +83,12 @@ def _hsv_to_rgb(h, s, v):
 
 
 def adjust_hue(img, delta):
-    x = img / 255.0
+    # HSV roundtrip in f32 regardless of the pixel dtype (the hue channel is a
+    # ratio of small differences — bf16 would visibly quantize it), cast back.
+    x = img.astype(jnp.float32) / 255.0
     h, s, v = _rgb_to_hsv(x)
     h = (h + delta) % 1.0
-    return jnp.clip(_hsv_to_rgb(h, s, v) * 255.0, 0.0, 255.0)
+    return jnp.clip(_hsv_to_rgb(h, s, v) * 255.0, 0.0, 255.0).astype(img.dtype)
 
 
 def color_jitter(key: jax.Array, img: jnp.ndarray,
@@ -127,8 +131,9 @@ def gaussian_blur(key: jax.Array, img: jnp.ndarray,
     h, w, c = img.shape
     # horizontal then vertical, depthwise; NHWC conv with feature groups
     img4 = img[None]
-    kh = k.reshape(1, taps, 1, 1) * jnp.ones((1, 1, 1, c))      # (1, taps, 1, C)
-    kv = k.reshape(taps, 1, 1, 1) * jnp.ones((1, 1, 1, c))      # (taps, 1, 1, C)
+    k = k.astype(img.dtype)
+    kh = k.reshape(1, taps, 1, 1) * jnp.ones((1, 1, 1, c), img.dtype)  # (1, taps, 1, C)
+    kv = k.reshape(taps, 1, 1, 1) * jnp.ones((1, 1, 1, c), img.dtype)  # (taps, 1, 1, C)
     dn = jax.lax.conv_dimension_numbers(img4.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     out = jax.lax.conv_general_dilated(img4, kh, (1, 1), [(0, 0), (r, r)],
                                        dimension_numbers=dn, feature_group_count=c)
@@ -162,10 +167,15 @@ def strong_augment_one(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     return img
 
 
-def strong_augment(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
-    """Batched strong augmentation: images (N, H, W, 3) 0..255 float."""
+def strong_augment(key: jax.Array, images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Batched strong augmentation: images (N, H, W, 3) 0..255 float.
+
+    ``dtype`` is the pixel compute dtype: bf16 under AMP halves the bandwidth of
+    the whole photometric chain; its ~8-bit mantissa matches the uint8 precision
+    the reference's PIL pipeline works in anyway.
+    """
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(strong_augment_one)(keys, images.astype(jnp.float32))
+    return jax.vmap(strong_augment_one)(keys, images.astype(dtype))
 
 
 # --------------------------------------------------------------------------- #
@@ -204,21 +214,23 @@ def _scale_jitter_one(key, img, hw, pixel_mean, lo, hi):
     g01 = img[y0i][:, x1i]
     g10 = img[y1i][:, x0i]
     g11 = img[y1i][:, x1i]
-    wy_ = wy[:, None, None]
-    wx_ = wx[None, :, None]
+    # blend weights in the image dtype (coordinates above stay f32: bf16 cannot
+    # address a 1216-px axis); bf16 weights only quantize the interpolation
+    wy_ = wy.astype(img.dtype)[:, None, None]
+    wx_ = wx.astype(img.dtype)[None, :, None]
     out = (g00 * (1 - wy_) * (1 - wx_) + g01 * (1 - wy_) * wx_
            + g10 * wy_ * (1 - wx_) + g11 * wy_ * wx_)
 
     in_y = (jnp.arange(h, dtype=jnp.float32) >= y1) & (jnp.arange(h, dtype=jnp.float32) < y1 + d_h)
     in_x = (jnp.arange(w, dtype=jnp.float32) >= x1) & (jnp.arange(w, dtype=jnp.float32) < x1 + d_w)
     inside = in_y[:, None] & in_x[None, :]
-    out = jnp.where(inside[..., None], out, pixel_mean)
+    out = jnp.where(inside[..., None], out, pixel_mean.astype(img.dtype))
     return out, ratio, jnp.stack([x1, y1])
 
 
 def scale_jitter(key: jax.Array, images: jnp.ndarray, image_hw: jnp.ndarray,
                  boxes: jnp.ndarray, pixel_mean: Tuple[float, ...],
-                 lo: float = 0.5, hi: float = 1.0):
+                 lo: float = 0.5, hi: float = 1.0, dtype=jnp.float32):
     """Batched scale jitter; transforms boxes like the reference
     (``box *= ratio; box[0::2] += x1; box[1::2] += y1``).
 
@@ -228,7 +240,7 @@ def scale_jitter(key: jax.Array, images: jnp.ndarray, image_hw: jnp.ndarray,
     keys = jax.random.split(key, n)
     mean = jnp.asarray(pixel_mean, jnp.float32)
     out, ratio, off = jax.vmap(partial(_scale_jitter_one, lo=lo, hi=hi))(
-        keys, images.astype(jnp.float32), image_hw, pixel_mean=jnp.broadcast_to(mean, (n, 3))
+        keys, images.astype(dtype), image_hw, pixel_mean=jnp.broadcast_to(mean, (n, 3))
     )
     shape = (n,) + (1,) * (boxes.ndim - 2)
     r = ratio.reshape(shape + (1,))

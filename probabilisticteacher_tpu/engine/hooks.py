@@ -1,0 +1,177 @@
+"""Pluggable trainer hooks (the reference's HookBase engine, TPU-flavored).
+
+Mirrors detectron2's hook protocol exercised by ``PTrainer.build_hooks``
+(``/root/reference/pt/engine/trainer.py:498-547``): objects with
+``before_train / before_step / after_step / after_train``, registered on the
+trainer and called in order (after_* in reverse order, like detectron2).
+
+The default hook set reproduces the reference behaviors that round 1 had
+hardcoded in one loop: iteration timing, periodic writers (every 20), periodic
+checkpointing (rank 0), periodic dual eval of student+teacher (rank 0), and the
+JAX profiler window. Users add hooks via ``trainer.register_hooks([...])``
+without editing the trainer.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional
+
+logger = logging.getLogger("probabilisticteacher_tpu")
+
+
+class HookBase:
+    """Base hook; ``self.trainer`` is set at registration."""
+
+    trainer = None  # type: ignore
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+
+class IterationTimer(HookBase):
+    """Tracks seconds/iter (excluding the first, compile-heavy one) and emits
+    ``it/s`` through the storage (reference: detectron2 IterationTimer)."""
+
+    def __init__(self, warmup_iters: int = 1):
+        self._warmup = warmup_iters
+        self._start: Optional[float] = None
+        self._count = 0
+
+    def before_step(self):
+        if self._count == self._warmup:
+            self._start = time.perf_counter()
+
+    def after_step(self):
+        self._count += 1
+        n = self._count - self._warmup
+        if self._start is not None and n > 0:
+            self.trainer.storage.put_scalars(
+                **{"it/s": n / (time.perf_counter() - self._start)})
+
+
+class PeriodicWriter(HookBase):
+    """Materialize the pipelined device metrics and flush writers every
+    ``period`` iters (reference: PeriodicWriter every 20, ``trainer.py:544-546``).
+
+    The metrics of step i are fetched while step i+1 runs (one stacked
+    device->host transfer — per-scalar fetches cost a full RPC roundtrip each
+    on tunneled backends).
+    """
+
+    def __init__(self, period: int = 20):
+        self.period = period
+
+    def after_step(self):
+        t = self.trainer
+        it = t.iter
+        if t.pending_metrics is None:
+            return
+        if it % self.period == 0 or it == t.max_iter - 1:
+            import jax.numpy as jnp
+            import numpy as np
+
+            names = list(t.pending_metrics)
+            vals = np.asarray(jnp.stack([t.pending_metrics[k] for k in names]))
+            host = dict(zip(names, vals.tolist()))
+            from ..parallel import host_max
+
+            # max across ranks, like the reference (trainer.py:407-411)
+            host["data_time"] = host_max(t.last_data_time)
+            t.storage.put_scalars(**host)
+            for w in t.writers:
+                w.write(t.storage)
+
+    def after_train(self):
+        for w in self.trainer.writers:
+            if hasattr(w, "close"):
+                w.close()
+
+
+class PeriodicCheckpointer(HookBase):
+    """Save the ensemble TrainState every ``period`` iters on rank 0
+    (reference: ``trainer.py:522-527``)."""
+
+    def __init__(self, period: int, keep: int = 100):
+        self.period = period
+        self.keep = keep
+
+    def after_step(self):
+        import jax
+
+        t = self.trainer
+        nxt = t.iter + 1
+        if self.period and nxt % self.period == 0 and jax.process_index() == 0:
+            from ..checkpoint import save_checkpoint
+
+            save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state), keep=self.keep)
+            logger.info(f"Checkpoint saved at iter {nxt}")
+
+
+class EvalHook(HookBase):
+    """Periodic dual eval: student (suffixed) + teacher (plain keys — the
+    headline metric tracks the teacher), rank 0 (reference ``trainer.py:529-542``)."""
+
+    def __init__(self, period: int):
+        self.period = period
+
+    def after_step(self):
+        import jax
+
+        t = self.trainer
+        nxt = t.iter + 1
+        if self.period and nxt % self.period == 0 and jax.process_index() == 0:
+            t.eval_and_log(suffix="_student", params=t.state.student)
+            t.eval_and_log(suffix="", params=t.state.teacher)
+
+
+class ProfilerHook(HookBase):
+    """JAX profiler window [START_STEP, START_STEP + NUM_STEPS) (cfg.PROFILER)."""
+
+    def __init__(self, start_step: int, num_steps: int, output_dir: str):
+        self.start = start_step
+        self.stop = start_step + num_steps
+        self.outdir = output_dir
+
+    def before_step(self):
+        import jax
+
+        if self.trainer.iter == self.start:
+            jax.profiler.start_trace(self.outdir)
+
+    def after_step(self):
+        import jax
+
+        if self.trainer.iter + 1 == self.stop:
+            jax.block_until_ready(self.trainer.pending_metrics)
+            jax.profiler.stop_trace()
+            logger.info(f"Profiler trace written to {self.outdir}")
+
+
+class LossEvalHook(HookBase):
+    """Periodic validation loss on a labeled set — the reference defines this
+    hook but never registers it (``pt/engine/hooks.py:24-133``,
+    import-only at ``trainer.py:41``); offered as an opt-in utility."""
+
+    def __init__(self, period: int, dataset_name: str, max_batches: int = 20):
+        self.period = period
+        self.dataset = dataset_name
+        self.max_batches = max_batches
+
+    def after_step(self):
+        t = self.trainer
+        if self.period and (t.iter + 1) % self.period == 0:
+            vals: Dict[str, float] = t.validation_loss(
+                t.state.student, self.dataset, self.max_batches)
+            t.storage.put_scalars(**vals)
+            logger.info(f"validation loss: {vals}")

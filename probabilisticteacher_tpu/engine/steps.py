@@ -64,6 +64,7 @@ def make_train_steps(
 ) -> Tuple[Callable, Callable]:
     """Returns (burnin_step, mutual_step), both jit-compiled with donated state."""
     arch = detector.arch
+    pix_dtype = detector.dtype  # bf16 pixel/aug chain under AMP
     w_sup = float(cfg.UNSUPNET.SOURCE_LOSS_WEIGHT)
     w_unsup = float(cfg.UNSUPNET.TARGET_UNSUP_LOSS_WEIGHT)
     burn_up = int(cfg.UNSUPNET.BURN_UP_STEP)
@@ -85,8 +86,8 @@ def make_train_steps(
     def burnin_step(state: TrainState, limg: ImageBatch, lgt: GroundTruth, rng: jax.Array):
         """Source-only supervised step on strong+weak views (``trainer.py:274-288``)."""
         k_aug, k_jit, k_sup = jax.random.split(jax.random.fold_in(rng, state.step), 3)
-        strong = strong_augment(k_aug, limg.image)
-        images = jnp.concatenate([strong, limg.image.astype(jnp.float32)], axis=0)
+        strong = strong_augment(k_aug, limg.image, dtype=pix_dtype)
+        images = jnp.concatenate([strong, limg.image.astype(pix_dtype)], axis=0)
         hw = jnp.concatenate([limg.image_hw, limg.image_hw], axis=0)
         gt = GroundTruth(
             boxes=jnp.concatenate([lgt.boxes, lgt.boxes], axis=0),
@@ -94,7 +95,8 @@ def make_train_steps(
             valid=jnp.concatenate([lgt.valid, lgt.valid], axis=0),
         )
         # reference: extend THEN resize -> jitter applies to all views
-        images, jboxes = scale_jitter(k_jit, images, hw, gt.boxes, arch.pixel_mean)
+        images, jboxes = scale_jitter(k_jit, images, hw, gt.boxes, arch.pixel_mean,
+                                      dtype=pix_dtype)
         gt = gt._replace(boxes=jboxes)
         batch = ImageBatch(images, hw)
 
@@ -123,10 +125,10 @@ def make_train_steps(
         pseudo = detector.pseudo_labels(teacher, uimg)
 
         # labeled: jittered strong view + plain weak view (trainer.py:350-355)
-        strong_l = strong_augment(k_aug_l, limg.image)
+        strong_l = strong_augment(k_aug_l, limg.image, dtype=pix_dtype)
         strong_l, lboxes_j = scale_jitter(k_jit_l, strong_l, limg.image_hw,
-                                          lgt.boxes, arch.pixel_mean)
-        images_l = jnp.concatenate([strong_l, limg.image.astype(jnp.float32)], axis=0)
+                                          lgt.boxes, arch.pixel_mean, dtype=pix_dtype)
+        images_l = jnp.concatenate([strong_l, limg.image.astype(pix_dtype)], axis=0)
         hw_l = jnp.concatenate([limg.image_hw, limg.image_hw], axis=0)
         gt_l = GroundTruth(
             boxes=jnp.concatenate([lboxes_j, lgt.boxes], axis=0),
@@ -136,9 +138,9 @@ def make_train_steps(
         batch_l = ImageBatch(images_l, hw_l)
 
         # unlabeled: jittered strong view with jitter-transformed pseudo boxes
-        strong_u = strong_augment(k_aug_u, uimg.image)
+        strong_u = strong_augment(k_aug_u, uimg.image, dtype=pix_dtype)
         strong_u, pboxes_j = scale_jitter(k_jit_u, strong_u, uimg.image_hw,
-                                          pseudo.boxes, arch.pixel_mean)
+                                          pseudo.boxes, arch.pixel_mean, dtype=pix_dtype)
         pseudo_j = PseudoLabels(
             boxes=jax.lax.stop_gradient(pboxes_j),
             logits=pseudo.logits, sigma=pseudo.sigma, valid=pseudo.valid,
@@ -146,14 +148,19 @@ def make_train_steps(
         batch_u = ImageBatch(strong_u, uimg.image_hw)
 
         def loss_fn(params):
-            sup = detector.supervised_losses(params, batch_l, gt_l, k_sup)
-            unsup = detector.unsupervised_losses(params, batch_u, pseudo_j, None)
+            # fused student forward: one backbone/RPN/ROI pass over both views
+            sup, unsup = detector.student_losses(
+                params, batch_l, gt_l, batch_u, pseudo_j, k_sup)
             losses = {k + "_sup": v for k, v in sup.items()}
             losses.update({k + "_unsup": v for k, v in unsup.items()})
             total = w_sup * _sum_losses(sup) + w_unsup * _sum_losses(unsup)
             return total, losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
+        # observability: mean valid pseudo boxes per image, the reference's
+        # num_proposal_output metric (``pt/engine/trainer.py:242-245``)
+        losses["num_pseudo_boxes"] = (
+            jnp.sum(pseudo.valid.astype(jnp.float32)) / pseudo.valid.shape[0])
         return _apply_updates(state, grads, losses, teacher)
 
     return (

@@ -324,13 +324,11 @@ class PTDetector:
         }
 
     # --------------------------------------------------------- ROI sup losses
-    def roi_supervised_losses(
-        self, params, feat, proposals: Proposals, gt: GroundTruth, rng
-    ) -> Dict[str, jnp.ndarray]:
-        """label_and_sample_proposals + FastRCNN losses (``roi_heads.py:192-255``,
-        ``fast_rcnn.py:265-336``): CE mean over sampled rows + Gaussian NLL / R."""
+    def _sample_rois_sup(self, rng, proposals: Proposals, gt: GroundTruth):
+        """label_and_sample_proposals (``roi_heads.py:192-255``): append gt, IoU
+        match, sample ``roi_batch_per_image`` with pos fraction."""
         a = self.arch
-        n, p, _ = proposals.boxes.shape
+        n = proposals.boxes.shape[0]
         if a.proposal_append_gt:
             all_boxes = jnp.concatenate([proposals.boxes, gt.boxes], axis=1)
             all_valid = jnp.concatenate([proposals.valid, gt.valid], axis=1)
@@ -357,11 +355,16 @@ class PTDetector:
         s_boxes, s_cls, s_fg, s_matched, s_valid = jax.vmap(sample_one)(
             keys, all_boxes, all_valid, gt.boxes, gt.classes, gt.valid
         )
-        s_boxes = jax.lax.stop_gradient(s_boxes)
+        return jax.lax.stop_gradient(s_boxes), s_cls, s_fg, s_matched, s_valid
 
-        scores, pdeltas = self.roi_predict(params, feat, s_boxes)
+    def _roi_sup_loss_tail(self, scores, pdeltas, s_boxes, s_cls, s_fg,
+                           s_matched, s_valid) -> Dict[str, jnp.ndarray]:
+        """FastRCNN supervised losses (``fast_rcnn.py:265-336``): CE mean over
+        sampled rows + Gaussian NLL / R."""
+        a = self.arch
+        n, s = s_cls.shape
+        k = a.num_classes
         loss_cls = L.softmax_cross_entropy_mean(scores, s_cls, s_valid)
-
         d = pdeltas.reshape(n, s, k, 8)
         cls_idx = jnp.clip(s_cls, 0, k - 1)
         sel = jnp.take_along_axis(d, cls_idx[..., None, None], axis=2)[:, :, 0]  # (N, S, 8)
@@ -375,6 +378,16 @@ class PTDetector:
             "roi_head/num_fg_samples": jnp.sum(s_fg) / n,
             "roi_head/num_bg_samples": jnp.sum(s_valid & ~s_fg) / n,
         }
+
+    def roi_supervised_losses(
+        self, params, feat, proposals: Proposals, gt: GroundTruth, rng
+    ) -> Dict[str, jnp.ndarray]:
+        """label_and_sample_proposals + FastRCNN losses (``roi_heads.py:192-255``,
+        ``fast_rcnn.py:265-336``)."""
+        s_boxes, s_cls, s_fg, s_matched, s_valid = self._sample_rois_sup(rng, proposals, gt)
+        scores, pdeltas = self.roi_predict(params, feat, s_boxes)
+        return self._roi_sup_loss_tail(scores, pdeltas, s_boxes, s_cls, s_fg,
+                                       s_matched, s_valid)
 
     # ------------------------------------------------------ supervised branch
     def supervised_losses(
@@ -458,25 +471,16 @@ class PTDetector:
         return Detections(b, sc, c, lg, sg, v)
 
     # --------------------------------------------------- unsupervised branch
-    def unsupervised_losses(
-        self, params, images: ImageBatch, pseudo: PseudoLabels, rng
-    ) -> Dict[str, jnp.ndarray]:
-        """branch="unsupervised" with danchor=True (``rcnn.py:47-62``,
-        ``rpn.py:115-135,257-361``, ``roi_heads.py:131-172,257-291``).
+    def _rpn_unsup_losses(self, anchors, anchors_sg, obj, deltas,
+                          pseudo: PseudoLabels) -> Dict[str, jnp.ndarray]:
+        """Soft RPN losses vs teacher pseudo-labels (``rpn.py:115-135,257-361``).
 
-        The learnable anchors receive gradient ONLY here, through mean_p =
-        get_deltas(anchors, matched_pseudo_box) in the RPN KL term (anchor
-        adaptation, ``rpn.py:91-94,311``)."""
-        del rng  # no sampling in the unsupervised branch (soft labels, no subsample)
+        ``anchors`` carries gradient (anchor adaptation); matching uses the
+        detached ``anchors_sg``."""
         a = self.arch
         k = a.num_classes
-        feat = self.features(params, images)
-        obj, deltas = self.rpn_predict(params, feat)
-        anchors = self.anchors(params, feat.shape[1], feat.shape[2])  # grads flow (danchor)
-        anchors_sg = jax.lax.stop_gradient(anchors)
         n = obj.shape[0]
 
-        # ---- RPN soft losses -------------------------------------------------
         def rpn_label_one(pboxes, plogits, psigma, pvalid):
             iou = masked_iou(box_ops.pairwise_iou(pboxes, anchors_sg), pvalid)
             midx, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
@@ -502,10 +506,15 @@ class PTDetector:
             deltas[..., :4], deltas[..., 4:], mean_p, t_sigma,
             amask & fg, a.tau[1], a.efl, a.efl_lambda[1], a.model_type, "sum",
         ) / normalizer
+        return {
+            "loss_rpn_cls": a.rpn_loss_weight * loss_rpn_cls,
+            "loss_rpn_loc": a.rpn_loss_weight * loss_rpn_loc,
+        }
 
-        # ---- ROI soft losses -------------------------------------------------
-        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
-                                           training=True, grid_hw=feat.shape[1:3])
+    def _keep_rois_unsup(self, proposals: Proposals, pseudo: PseudoLabels):
+        """Unsup proposal keep: only matcher-label-1 proposals survive, up to the
+        static budget (``roi_heads.py:257-291``)."""
+        a = self.arch
         b = a.unsup_roi_budget
 
         def roi_keep_one(pboxes, plogits, psigma, pvalid, prop_boxes, prop_valid):
@@ -522,12 +531,17 @@ class PTDetector:
                 kvalid,
             )
 
-        k_boxes, k_pboxes, k_logits, k_sigma, k_valid = jax.vmap(roi_keep_one)(
+        return jax.vmap(roi_keep_one)(
             pseudo.boxes, pseudo.logits, pseudo.sigma, pseudo.valid,
             proposals.boxes, proposals.valid,
         )
-        scores, pdeltas = self.roi_predict(params, feat, k_boxes)
 
+    def _roi_unsup_loss_tail(self, scores, pdeltas, k_boxes, k_pboxes, k_logits,
+                             k_sigma, k_valid) -> Dict[str, jnp.ndarray]:
+        """Unsup ROI losses (``roi_heads.py:131-172``, ``fast_rcnn.py:179-263``)."""
+        a = self.arch
+        k = a.num_classes
+        n, b = k_valid.shape
         # cls: soft CE, normalized by the total kept count across the batch
         # (reference concatenates images then divides by rows, fast_rcnn.py:208-209)
         flat_valid = k_valid.reshape(-1)
@@ -547,13 +561,97 @@ class PTDetector:
             sel[..., :4], sel[..., 4:], mean_p_roi, k_sigma,
             fg_rows, a.tau[1], a.efl, a.efl_lambda[1], a.model_type, "mean",
         )
-
         return {
-            "loss_rpn_cls": a.rpn_loss_weight * loss_rpn_cls,
-            "loss_rpn_loc": a.rpn_loss_weight * loss_rpn_loc,
             "loss_cls": loss_cls,
             "loss_box_reg": loss_box,
+            # observability: mean valid pseudo boxes per image (the reference's
+            # num_proposal_output metric, ``trainer.py:242-245``) is emitted by
+            # the train step from pseudo.valid, not here.
         }
+
+    def unsupervised_losses(
+        self, params, images: ImageBatch, pseudo: PseudoLabels, rng
+    ) -> Dict[str, jnp.ndarray]:
+        """branch="unsupervised" with danchor=True (``rcnn.py:47-62``,
+        ``rpn.py:115-135,257-361``, ``roi_heads.py:131-172,257-291``).
+
+        The learnable anchors receive gradient ONLY here, through mean_p =
+        get_deltas(anchors, matched_pseudo_box) in the RPN KL term (anchor
+        adaptation, ``rpn.py:91-94,311``)."""
+        del rng  # no sampling in the unsupervised branch (soft labels, no subsample)
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = self.anchors(params, feat.shape[1], feat.shape[2])  # grads flow (danchor)
+        anchors_sg = jax.lax.stop_gradient(anchors)
+        losses = self._rpn_unsup_losses(anchors, anchors_sg, obj, deltas, pseudo)
+        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
+                                           training=True, grid_hw=feat.shape[1:3])
+        k_boxes, k_pboxes, k_logits, k_sigma, k_valid = self._keep_rois_unsup(proposals, pseudo)
+        scores, pdeltas = self.roi_predict(params, feat, k_boxes)
+        losses.update(self._roi_unsup_loss_tail(scores, pdeltas, k_boxes, k_pboxes,
+                                                k_logits, k_sigma, k_valid))
+        return losses
+
+    # ------------------------------------------------ fused student forward
+    def student_losses(
+        self, params, images_l: ImageBatch, gt_l: GroundTruth,
+        images_u: ImageBatch, pseudo: PseudoLabels, rng
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Supervised + unsupervised student losses in ONE backbone/RPN/ROI pass.
+
+        TPU-native fusion of the reference's two separate student forwards
+        (``trainer.py:350-380``): the labeled and unlabeled views share the same
+        canvas and weights, so the conv stack, RPN head, proposal NMS, ROIAlign
+        and box head all run once on the concatenated batch — fewer kernel
+        launches and better MXU utilization than two half-size passes.
+        Numerics are identical to supervised_losses + unsupervised_losses.
+        """
+        a = self.arch
+        nl = images_l.image.shape[0]
+        nu = images_u.image.shape[0]
+        if (nl + nu) % 8 != 0:
+            # a non-8-aligned combined batch pads to the next sublane tile in
+            # every spatial conv (measured +24 ms at 8+4=12 on v5e) — run the
+            # two aligned passes separately instead
+            kr2, ko2 = jax.random.split(rng)
+            return (self.supervised_losses(params, images_l, gt_l, kr2),
+                    self.unsupervised_losses(params, images_u, pseudo, ko2))
+        kr, ko = jax.random.split(rng)
+        images = ImageBatch(
+            image=jnp.concatenate([images_l.image, images_u.image], axis=0),
+            image_hw=jnp.concatenate([images_l.image_hw, images_u.image_hw], axis=0),
+        )
+        feat = self.features(params, images)
+        obj, deltas = self.rpn_predict(params, feat)
+        anchors = self.anchors(params, feat.shape[1], feat.shape[2])
+        anchors_sg = jax.lax.stop_gradient(anchors)
+
+        sup = self.rpn_supervised_losses(anchors_sg, obj[:nl], deltas[:nl], gt_l, kr)
+        unsup = self._rpn_unsup_losses(anchors, anchors_sg, obj[nl:], deltas[nl:], pseudo)
+
+        # one NMS pass over all images (both branches use train-time topk)
+        proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
+                                           training=True, grid_hw=feat.shape[1:3])
+        prop_l = Proposals(proposals.boxes[:nl], proposals.logits[:nl], proposals.valid[:nl])
+        prop_u = Proposals(proposals.boxes[nl:], proposals.logits[nl:], proposals.valid[nl:])
+
+        s_boxes, s_cls, s_fg, s_matched, s_valid = self._sample_rois_sup(ko, prop_l, gt_l)
+        k_boxes, k_pboxes, k_logits, k_sigma, k_valid = self._keep_rois_unsup(prop_u, pseudo)
+
+        if s_boxes.shape[1] == k_boxes.shape[1]:
+            # equal per-image ROI budgets: one fused ROIAlign + box-head pass
+            scores, pdeltas = self.roi_predict(
+                params, feat, jnp.concatenate([s_boxes, k_boxes], axis=0))
+            sc_l, sc_u = scores[:nl], scores[nl:]
+            pd_l, pd_u = pdeltas[:nl], pdeltas[nl:]
+        else:
+            sc_l, pd_l = self.roi_predict(params, feat[:nl], s_boxes)
+            sc_u, pd_u = self.roi_predict(params, feat[nl:], k_boxes)
+        sup.update(self._roi_sup_loss_tail(sc_l, pd_l, s_boxes, s_cls, s_fg,
+                                           s_matched, s_valid))
+        unsup.update(self._roi_unsup_loss_tail(sc_u, pd_u, k_boxes, k_pboxes,
+                                               k_logits, k_sigma, k_valid))
+        return sup, unsup
 
 
 def _first_k_indices(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _normal01 = nn.initializers.normal(stddev=0.01)
@@ -49,6 +50,33 @@ class RPNHead(nn.Module):
         return obj, deltas
 
 
+class _StructuredDense(nn.Module):
+    """Dense over a structured (P, P, C) input WITHOUT flattening the activations.
+
+    The (..., 7, 7, 512) -> (..., 25088) activation reshape is a sublane/lane
+    relayout on TPU (~7 ms/step measured); reshaping the WEIGHT (25088, F) ->
+    (7, 7, 512, F) only splits a major dim (free). Parameters keep the flat
+    (P*P*C, F) "kernel"/"bias" layout so checkpoints/importers are unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p1, p2, c = x.shape[-3:]
+        kernel = self.param("kernel", _xavier, (p1 * p2 * c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        nbatch = x.ndim - 3
+        out = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.reshape(p1, p2, c, self.features).astype(self.dtype),
+            dimension_numbers=(
+                ((nbatch, nbatch + 1, nbatch + 2), (0, 1, 2)), ((), ())),
+        )
+        return out + bias.astype(self.dtype)
+
+
 class BoxHead(nn.Module):
     """2x FC-1024 head over pooled ROI features (FastRCNNConvFCHead, FC-only)."""
 
@@ -59,9 +87,10 @@ class BoxHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x (..., P, P, C) -> (..., fc_dim)."""
-        x = x.reshape(x.shape[:-3] + (-1,)).astype(self.dtype)
-        for i in range(self.num_fc):
-            x = nn.Dense(self.fc_dim, kernel_init=_xavier, dtype=self.dtype, name=f"fc{i + 1}")(x)
+        x = nn.relu(_StructuredDense(self.fc_dim, dtype=self.dtype, name="fc1")(x))
+        for i in range(1, self.num_fc):
+            x = nn.Dense(self.fc_dim, kernel_init=_xavier, dtype=self.dtype,
+                         name=f"fc{i + 1}")(x)
             x = nn.relu(x)
         return x
 

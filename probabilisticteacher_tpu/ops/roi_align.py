@@ -193,33 +193,22 @@ def roi_align_batched(
     """
     if impl == "auto":
         # fused Pallas kernel on TPU (fastest, benchmarked 1.8x over the XLA
-        # matmul path on the teacher pass); XLA matmuls elsewhere. The kernel
-        # needs the ROI count divisible by its block and a VMEM-resident
-        # feature map.
-        from .roi_align_pallas import ROI_BLOCK
-
-        n_img, r_roi = features.shape[0], boxes.shape[1]
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and r_roi % min(ROI_BLOCK, r_roi) == 0
-            and features.shape[1] * features.shape[2] * features.shape[3] <= 4_000_000
-            # Mosaic's scoped-VMEM buffering grows with the vmap grid; the only
-            # observed OOM is width 8 x 2000 ROIs (17.51M > 16M). Width 8 x 512
-            # (the supervised path) compiles and runs fine.
-            and (n_img <= 4 or (n_img <= 8 and r_roi <= 512))
-        )
-        impl = "pallas" if use_pallas else "mxu"
+        # matmul path on the teacher pass); XLA matmuls elsewhere. The batched
+        # kernel auto-sizes its ROI block to VMEM (pick_roi_block), so the only
+        # remaining condition is that the per-image feature map itself fits.
+        feat_bytes = (features.shape[1] * features.shape[2] * features.shape[3]
+                      * features.dtype.itemsize)
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and feat_bytes <= 4_000_000 else "mxu")
     if impl == "pallas":
         from .roi_align_pallas import roi_align_pallas
 
-        fn = partial(
-            roi_align_pallas,
-            spatial_scale=spatial_scale,
+        return roi_align_pallas(
+            features, boxes, spatial_scale,
             output_size=output_size,
             sampling_ratio=sampling_ratio,
             interpret=jax.default_backend() != "tpu",
         )
-        return jax.vmap(fn)(features, boxes)
     fn = partial(
         roi_align_mxu if impl == "mxu" else roi_align,
         spatial_scale=spatial_scale,

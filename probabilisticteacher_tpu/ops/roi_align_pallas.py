@@ -1,16 +1,28 @@
-"""Fused ROIAlign Pallas kernel (forward) — zero HBM intermediate.
+"""Fused batched ROIAlign Pallas kernel — zero HBM intermediate.
 
 The XLA "mxu" formulation (ops/roi_align.py) runs two dot_generals and must
 materialize the (R, p, W, C) y-interpolated intermediate in HBM (~0.5-1 GB for
 the teacher's 2000 ROIs/image). This kernel fuses both interpolation matmuls:
-per grid step it holds the WHOLE feature map (stride-16 VGG block5 at 600 px is
-~3 MB bf16) plus one ROI-block's intermediate in VMEM, writing only the pooled
-(R, p, p, C) output to HBM.
+per grid step it holds the feature map of ONE image (stride-16 VGG block5 at
+600 px is ~3 MB bf16) plus one ROI-block's f32 intermediate in VMEM, writing
+only the pooled (N, R, p, p, C) output to HBM — in the feature dtype (bf16
+under AMP), halving the HBM write vs the round-1 f32 version and dropping the
+follow-up convert pass.
+
+The grid is (N, R // rb) with the image index major, so Mosaic's pipelining
+re-fetches the feature-map block only when the image changes; the per-image
+vmap of the round-1 kernel (whose scoped-VMEM grew with the batch and needed a
+magic-number guard, VERDICT.md Weak #3) is gone. ``rb`` is auto-sized to the
+VMEM budget, so the kernel now covers every production shape including the
+teacher's (8, 2000) pass.
 
 Forward-only with a custom VJP: boxes are stop_gradient everywhere in PT (the
 reference decodes proposals under no_grad, ``rpn.py:176``), so only d(features)
-is needed; it is the transposed pair of interp matmuls, evaluated with chunked
+is needed; it is the transposed pair of interp matmuls, evaluated with batched
 XLA dots (backward runs only on the student's <=1k ROIs/image).
+
+Replaces the torchvision/detectron2 CUDA ROIAlign kernel exercised at
+``pt/modeling/roi_heads/roi_heads.py:68-73,126``.
 """
 
 from __future__ import annotations
@@ -24,61 +36,111 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _interp_matrix, _sample_points
 
-ROI_BLOCK = 8  # ROIs per grid step; rb*p must stay sublane-aligned (div by 8)
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB scoped VMEM
 
 
-def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int):
-    """wy (RB*p, H), wx (RB, p, W), feat (H, W*C) -> out (RB*p, p_x, C).
+def _plan(r: int, p: int, h: int, w: int, c: int, feat_bytes: int = 2):
+    """(roi_block, sub_rows): largest ROI block whose buffers fit VMEM.
+
+    Constraints: rb divides r; rb*p divisible by 8 (the wy block's sublane dim
+    must be 8-aligned for Mosaic); the f32 y-interp intermediate is computed in
+    ``sub_rows``-row chunks so only sub_rows*W*C*4 bytes are live at once.
+    """
+    feat = 2 * h * w * c * feat_bytes            # double-buffered feature block
+    # maximize sub (the y-interp MXU dot's row count — its occupancy dominates
+    # kernel time), then rb (fewer grid steps).
+    best = None
+    for rb in (32, 16, 8):
+        if r % rb or (rb * p) % 8:
+            continue
+        out = 2 * rb * p * p * c * feat_bytes
+        wy = 2 * rb * p * max(h, 8) * feat_bytes
+        wx = 2 * rb * p * max(w, 8) * feat_bytes
+        left = _VMEM_BUDGET - (feat + out + wy + wx)
+        max_rows = left // (w * c * 4)
+        subs = [d for d in range(1, rb * p + 1) if (rb * p) % d == 0 and d <= max_rows]
+        if subs:
+            cand = (max(subs), rb)
+            best = max(best, cand) if best else cand
+    if best is None:
+        return 0, 0  # caller falls back to the XLA matmul formulation
+    return best[1], best[0]
+
+
+def _kernel(wy_ref, wx_ref, feat_ref, out_ref, *, p: int, sub: int):
+    """wy (1, RB*p, H), wx (1, RB, p, W), feat (1, H, W*C) -> out (1, RB*p, p, C).
 
     All awkward reshapes live OUTSIDE the kernel (Mosaic rejects shape casts on
     non-tile-aligned leading dims); in-kernel reshapes only split the minor
     (lane) dimension, which lowers cleanly.
     """
-    rbp, h = wy_ref.shape
-    rb, _, w = wx_ref.shape
-    c = out_ref.shape[2]
+    rbp = wy_ref.shape[1]
+    w = wx_ref.shape[3]
+    c = out_ref.shape[3]
 
-    # y-interp for the whole block in one MXU matmul: (RB*p, H) @ (H, W*C).
-    # Mosaic requires 32-bit matmul accumulators; the f32 tmp (8.7MB at block 8)
-    # plus an f32 out block is the VMEM ceiling — hence the f32 output below.
-    tmp = jnp.dot(wy_ref[:], feat_ref[:], preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(rbp, w, c).astype(wx_ref.dtype)  # minor-dim split only
-
-    # x-interp per (roi, output row): (p_x, W) @ (W, C). Static unroll: Pallas
-    # TPU cannot dynamic-slice VALUES (only refs), and rb*p is small (56).
-    for k in range(rbp):
-        row = jnp.dot(wx_ref[k // p], tmp[k], preferred_element_type=jnp.float32)
-        out_ref[k] = row.astype(out_ref.dtype)  # (p_x, C)
+    # y-interp in sub-blocks of ``sub`` rows: (sub, H) @ (H, W*C) on the MXU.
+    # Mosaic requires 32-bit matmul accumulators; the f32 tmp is the VMEM whale
+    # (sub*W*C*4 bytes) — _plan sizes (rb, sub) against the budget.
+    for j in range(rbp // sub):
+        tmp = jnp.dot(wy_ref[0, j * sub:(j + 1) * sub], feat_ref[0],
+                      preferred_element_type=jnp.float32)
+        tmp = tmp.reshape(sub, w, c).astype(wx_ref.dtype)  # minor-dim split only
+        # x-interp per (roi, output row): (p_x, W) @ (W, C). Static unroll:
+        # Pallas TPU cannot dynamic-slice VALUES (only refs), and sub is small.
+        for kk in range(sub):
+            k = j * sub + kk
+            row = jnp.dot(wx_ref[0, k // p], tmp[kk],
+                          preferred_element_type=jnp.float32)
+            out_ref[0, k] = row.astype(out_ref.dtype)  # (p_x, C)
 
 
 def _forward(features, wy, wx, interpret=False):
-    h, w, c = features.shape
-    r, p, _ = wy.shape
-    rb = min(ROI_BLOCK, r)
-    assert r % rb == 0, (r, rb)
-    fm = features.reshape(h, w * c)
+    n, h, w, c = features.shape
+    _, r, p, _ = wy.shape
+    rb, sub = _plan(r, p, h, w, c, features.dtype.itemsize)
+    if rb == 0:  # shapes the kernel cannot tile — XLA matmul fallback
+        return jax.vmap(_mxu_from_mats)(features, wy, wx)
+    fm = features.reshape(n, h, w * c)
     out = pl.pallas_call(
-        partial(_kernel, p=p),
-        grid=(r // rb,),
+        partial(_kernel, p=p, sub=sub),
+        grid=(n, r // rb),
         in_specs=[
-            pl.BlockSpec((rb * p, h), lambda i: (i, 0)),
-            pl.BlockSpec((rb, p, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((h, w * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, rb * p, h), lambda ni, i: (ni, i, 0)),
+            pl.BlockSpec((1, rb, p, w), lambda ni, i: (ni, i, 0, 0)),
+            # image-major grid: this block is re-fetched only when ni changes
+            pl.BlockSpec((1, h, w * c), lambda ni, i: (ni, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((rb * p, p, c), lambda i: (i, 0, 0)),
-        # f32 output: a bf16 out block + the f32 tmp exceeds the 16MB scoped
-        # VMEM (by 588KB); the extra HBM write costs ~2-3 ms/step — acceptable
-        out_shape=jax.ShapeDtypeStruct((r * p, p, c), jnp.float32),
+        out_specs=pl.BlockSpec((1, rb * p, p, c), lambda ni, i: (ni, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, r * p, p, c), features.dtype),
         interpret=interpret,
-    )(wy.reshape(r * p, h), wx, fm)
-    return out.reshape(r, p, p, c)
+    )(wy.reshape(n, r * p, h), wx, fm)
+    return out.reshape(n, r, p, p, c)
+
+
+def _mxu_from_mats(feat, wy, wx):
+    """The roi_align_mxu contraction pair, from precomputed (wy, wx) matrices.
+
+    feat (H, W, C); wy (R, p, H); wx (R, p, W) -> (R, p, p, C).
+    """
+    h, w, c = feat.shape
+    r, p, _ = wy.shape
+    dt = feat.dtype
+    tmp = jax.lax.dot_general(
+        wy.reshape(r * p, h), feat.reshape(h, w * c), (((1,), (0,)), ((), ())),
+        preferred_element_type=dt,
+    ).reshape(r, p, w, c)
+    out = jax.lax.dot_general(
+        wx, tmp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=dt,
+    )  # (R, p_x, p_y, C)
+    return out.transpose(0, 2, 1, 3)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_align_pallas(features, boxes, spatial_scale, output_size=7,
                      sampling_ratio=2, interpret=False):
-    """ROIAlign one image via the fused Pallas kernel -> (R, p, p, C).
+    """Batched ROIAlign via the fused Pallas kernel.
 
+    features (N, H, W, C), boxes (N, R, 4) -> (N, R, p, p, C).
     Numerically identical to ops.roi_align.roi_align_mxu (parity-tested).
     """
     wy, wx = _pool_matrices(features.shape, boxes, spatial_scale, output_size,
@@ -87,12 +149,12 @@ def roi_align_pallas(features, boxes, spatial_scale, output_size=7,
 
 
 def _pool_matrices(feat_shape, boxes, spatial_scale, p, s, dtype):
-    h, w, _ = feat_shape
-    r = boxes.shape[0]
+    _, h, w, _ = feat_shape
+    n, r, _ = boxes.shape
     scaled = boxes.astype(jnp.float32) * spatial_scale - 0.5
-    ys, xs = _sample_points(scaled, p, s)
-    wy = _interp_matrix(ys, h).reshape(r, p, s, h).mean(2).astype(dtype)
-    wx = _interp_matrix(xs, w).reshape(r, p, s, w).mean(2).astype(dtype)
+    ys, xs = jax.vmap(lambda b: _sample_points(b, p, s))(scaled)
+    wy = _interp_matrix(ys, h).reshape(n, r, p, s, h).mean(3).astype(dtype)
+    wx = _interp_matrix(xs, w).reshape(n, r, p, s, w).mean(3).astype(dtype)
     return wy, wx
 
 
@@ -105,10 +167,10 @@ def _fwd(features, boxes, spatial_scale, output_size, sampling_ratio, interpret)
 
 def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
     wy, wx = res  # wy carries the features dtype; shapes give (H, W)
-    # dF[h, w, c] = sum_r Wy[r]^T @ dOut[r] @ Wx[r]
-    # contract x first: (R, p_y, p_x, C) x (R, p_x, W) -> (R, p_y, W, C)
-    t = jnp.einsum("rqxc,rxw->rqwc", g.astype(jnp.float32), wx.astype(jnp.float32))
-    df = jnp.einsum("rqh,rqwc->hwc", wy.astype(jnp.float32), t)
+    # dF[n, h, w, c] = sum_r Wy[n, r]^T @ dOut[n, r] @ Wx[n, r]
+    # contract x first: (N, R, p_y, p_x, C) x (N, R, p_x, W) -> (N, R, p_y, W, C)
+    t = jnp.einsum("nrqxc,nrxw->nrqwc", g.astype(jnp.float32), wx.astype(jnp.float32))
+    df = jnp.einsum("nrqh,nrqwc->nhwc", wy.astype(jnp.float32), t)
     return df.astype(wy.dtype), None
 
 

@@ -1,1 +1,1 @@
-from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
+from .mesh import host_max, make_mesh, replicate, shard_batch  # noqa: F401

@@ -48,3 +48,19 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def host_max(value: float) -> float:
+    """Max of a host-side scalar across processes.
+
+    The reference reduces per-rank ``data_time`` as max-across-ranks through
+    ``comm.gather`` (``pt/engine/trainer.py:403-411``); this is the JAX-native
+    equivalent (no-op single-process; one tiny allgather on a pod, called only
+    at writer cadence).
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray(float(value)))
+    return float(np.max(arr))

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--device", default="cpu")
     p.add_argument("--amp", action="store_true", help="bf16 compute (TPU numeric path)")
     p.add_argument("--danchor", action="store_true", help="learnable anchors (anchor adaptation)")
+    p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"],
+                   help="train-proposal NMS impl (mAP-neutrality check for maxpool)")
     args = p.parse_args()
 
     import jax
@@ -58,6 +60,7 @@ def main():
                                               (12.0, 24.0), (24.0, 48.0), (48.0, 96.0),
                                               (24.0, 12.0), (48.0, 24.0), (96.0, 48.0)),)
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.RPN.NMS_IMPL = args.nms
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Mini-DAOD accuracy run (VERDICT r1 Next #2): full recipe shape on-chip.
+
+Drives the REAL CLI (train_net.py) on the synthetic clean->foggy proxy built by
+make_daod_proxy.py, with the reference's headline c2f recipe scaled 1/10 in
+iterations (30k->3000, burn-in 4000->400, eval 400->250) and 480px inputs, plus
+the train.sh overrides (TAU 0.5 0.5, DifferentiableAnchorGenerator). Produces
+curves for REPORT_accuracy.md from the run's metrics.json.
+
+Usage:
+  python scripts/run_accuracy_proxy.py [--iters 3000] [--out /root/repo/.proxy_runs/r2]
+          [--data /root/repo/.proxy_data] [--no-amp] [--greedy-nms]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=3000)
+    p.add_argument("--burn", type=int, default=400)
+    p.add_argument("--eval-period", type=int, default=250)
+    p.add_argument("--data", default=os.path.join(REPO, ".proxy_data"))
+    p.add_argument("--out", default=os.path.join(REPO, ".proxy_runs", "r2"))
+    p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
+    p.add_argument("--batch", type=int, default=16)
+    args = p.parse_args()
+
+    if not os.path.exists(os.path.join(args.data, "data", "VOC2007_foggyval")):
+        subprocess.check_call([sys.executable, os.path.join(REPO, "scripts/make_daod_proxy.py"),
+                               "--root", args.data])
+
+    env = dict(os.environ)
+    env["DETECTRON2_DATASETS"] = args.data
+    cmd = [
+        sys.executable, os.path.join(REPO, "train_net.py"),
+        "--config-file", os.path.join(REPO, "configs/pt/final_c2f.yaml"),
+        # train.sh headline overrides (learnable anchors + tau .5)
+        "UNSUPNET.TAU", "[0.5,0.5]",
+        "MODEL.ANCHOR_GENERATOR.NAME", "DifferentiableAnchorGenerator",
+        # 1/10-scale schedule, 480px proxy inputs
+        "SOLVER.MAX_ITER", str(args.iters),
+        "SOLVER.STEPS", f"({args.iters},)",
+        "UNSUPNET.BURN_UP_STEP", str(args.burn),
+        "SOLVER.IMG_PER_BATCH_LABEL", str(args.batch),
+        "SOLVER.IMG_PER_BATCH_UNLABEL", str(args.batch),
+        "SOLVER.CHECKPOINT_PERIOD", "1000",
+        "SOLVER.WARMUP_ITERS", "100",
+        "TEST.EVAL_PERIOD", str(args.eval_period),
+        "INPUT.MIN_SIZE_TRAIN", "(480,)",
+        "INPUT.MIN_SIZE_TEST", "480",
+        "INPUT.CANVAS.WIDE", "(480, 992)",
+        "INPUT.CANVAS.TALL", "(992, 480)",
+        "MODEL.VGG.PRETRAIN", "",
+        "SOLVER.AMP.ENABLED", str(not args.no_amp),
+        "MODEL.RPN.NMS_IMPL", args.nms,
+        "OUTPUT_DIR", args.out,
+    ]
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "driver.log"), "w") as logf:
+        ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
+    print(f"train_net exited {ret}")
+    summarize(args.out)
+    return ret
+
+
+def summarize(out_dir):
+    """Print the teacher/student mAP50 curve from metrics.json."""
+    path = os.path.join(out_dir, "metrics.json")
+    if not os.path.exists(path):
+        print("no metrics.json")
+        return
+    rows = []
+    with open(path) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "mAP50" in d or "mAP50_student" in d:
+                rows.append((d.get("iteration"), d.get("mAP50"), d.get("mAP50_student"),
+                             d.get("num_pseudo_boxes"), d.get("total_loss")))
+    seen = {}
+    for it, t, s, npb, tl in rows:
+        seen[it] = (t, s, npb, tl)
+    print(f"{'iter':>6} {'teacher mAP50':>14} {'student mAP50':>14} {'pseudo/img':>10} {'loss':>8}")
+    for it in sorted(k for k in seen if k is not None):
+        t, s, npb, tl = seen[it]
+        print(f"{it:>6} {t if t is not None else float('nan'):>14.2f} "
+              f"{s if s is not None else float('nan'):>14.2f} "
+              f"{npb if npb is not None else float('nan'):>10.1f} "
+              f"{tl if tl is not None else float('nan'):>8.3f}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "summarize":
+        summarize(sys.argv[2])
+    else:
+        sys.exit(main())
