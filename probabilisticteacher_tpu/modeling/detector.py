@@ -255,7 +255,9 @@ class PTDetector:
         obj = jax.lax.stop_gradient(obj)
         deltas = jax.lax.stop_gradient(deltas)
 
-        if a.rpn_nms_impl == "maxpool" and grid_hw is not None:
+        use_maxpool = a.rpn_nms_impl == "maxpool" or (
+            a.rpn_nms_impl == "maxpool_train" and training)
+        if use_maxpool and grid_hw is not None:
             from ..ops.maxpool_nms import maxpool_nms_select
 
             def per_image_mp(obj_i, deltas_i, hw):

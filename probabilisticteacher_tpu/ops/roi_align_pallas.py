@@ -168,9 +168,21 @@ def _fwd(features, boxes, spatial_scale, output_size, sampling_ratio, interpret)
 def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
     wy, wx = res  # wy carries the features dtype; shapes give (H, W)
     # dF[n, h, w, c] = sum_r Wy[n, r]^T @ dOut[n, r] @ Wx[n, r]
-    # contract x first: (N, R, p_y, p_x, C) x (N, R, p_x, W) -> (N, R, p_y, W, C)
-    t = jnp.einsum("nrqxc,nrxw->nrqwc", g.astype(jnp.float32), wx.astype(jnp.float32))
-    df = jnp.einsum("nrqh,nrqwc->nhwc", wy.astype(jnp.float32), t)
+    # Contract the POOLED q axis first: the (N, R, x, H, C) intermediate is
+    # (H/W)x smaller than the x-first (N, R, q, W, C) order (H=38 vs W=76 on
+    # the wide canvas) — HBM traffic dominates this op. Intermediates run in
+    # the feature dtype (bf16 under AMP; multi-GB in f32); the final (r, x)
+    # reduction accumulates in f32 via preferred_element_type.
+    if wy.shape[-1] <= wx.shape[-1]:  # wide canvas: H < W -> q-first smaller
+        u = jnp.einsum("nrqh,nrqxc->nrxhc", wy, g.astype(wy.dtype),
+                       preferred_element_type=wy.dtype)
+        df = jnp.einsum("nrxhc,nrxw->nhwc", u, wx,
+                        preferred_element_type=jnp.float32)
+    else:  # tall canvas: W < H -> x-first smaller
+        t = jnp.einsum("nrqxc,nrxw->nrqwc", g.astype(wx.dtype), wx,
+                       preferred_element_type=wx.dtype)
+        df = jnp.einsum("nrqh,nrqwc->nhwc", wy, t,
+                        preferred_element_type=jnp.float32)
     return df.astype(wy.dtype), None
 
 
