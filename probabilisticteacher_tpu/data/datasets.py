@@ -148,6 +148,9 @@ def register_builtin(root: Optional[str] = None) -> None:
         ("VOC2007_citytrain", "data/VOC2007_citytrain", "train", CLASS_NAMES_8),
         ("VOC2007_foggytrain", "data/VOC2007_foggytrain", "train", CLASS_NAMES_8),
         ("VOC2007_foggyval", "data/VOC2007_foggyval", "val", CLASS_NAMES_8),
+        # not in the reference's table (builtin.py:120-154); used by the
+        # source-domain no-gap control in REPORT_accuracy.md
+        ("VOC2007_cityval", "data/VOC2007_cityval", "val", CLASS_NAMES_8),
         ("VOC2007_citytrain1", "data/VOC2007_citytrain1", "train", CLASS_NAMES_1),
         ("VOC2007_cityval1", "data/VOC2007_cityval1", "val", CLASS_NAMES_1),
         ("VOC2007_bddtrain", "data/VOC2007_bddtrain", "train", CLASS_NAMES_8),

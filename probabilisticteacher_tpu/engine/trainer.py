@@ -279,5 +279,9 @@ class PTrainer:
             res = evaluate_detections(self.detector, params, loader, class_names,
                                       style=style, max_images=max_images,
                                       gt_dicts=None if max_images else dicts)
+            if len(self.cfg.DATASETS.TEST) > 1:
+                # like detectron2's multi-dataset results dict: prefix with the
+                # dataset name so a second test set can't overwrite the first
+                res = {f"{name}/{k}": v for k, v in res.items()}
             out.update(res)
         return out

@@ -31,6 +31,11 @@ def main():
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--source-only", action="store_true",
+                   help="burn-in only for the whole schedule (the reference's "
+                        "'source only' baseline row, README.md:35); also "
+                        "evaluates the clean-source val split for the "
+                        "domain-gap measurement")
     args = p.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "data", "VOC2007_foggyval")):
@@ -63,6 +68,9 @@ def main():
         "MODEL.RPN.NMS_IMPL", args.nms,
         "OUTPUT_DIR", args.out,
     ]
+    if args.source_only:
+        cmd += ["UNSUPNET.BURN_UP_STEP", str(args.iters),
+                "DATASETS.TEST", "('VOC2007_foggyval','VOC2007_cityval')"]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "driver.log"), "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
