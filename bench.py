@@ -70,8 +70,10 @@ def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets, maxpool_nms=Fa
     from probabilisticteacher_tpu.structures import GroundTruth, ImageBatch
 
     def mk_images(n):
+        # uint8, like the production loader ships them (4x less host->device
+        # traffic; the in-graph preprocess casts to the compute dtype)
         return ImageBatch(
-            image=jnp.asarray(rng.randint(0, 255, (n, h, w, 3)).astype(np.float32)),
+            image=jnp.asarray(rng.randint(0, 255, (n, h, w, 3), dtype=np.uint8)),
             image_hw=jnp.asarray([[float(h), float(w)]] * n),
         )
 

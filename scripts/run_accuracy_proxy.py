@@ -31,6 +31,11 @@ def main():
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--ema-keep", type=float, default=0.0,
+                   help="override UNSUPNET.EMA_KEEP_RATE; on a 1/10 schedule "
+                        "the reference's 0.9996 (~2500-step horizon) leaves the "
+                        "teacher permanently lagging — 0.996 matches the "
+                        "horizon to the scaled schedule")
     p.add_argument("--source-only", action="store_true",
                    help="burn-in only for the whole schedule (the reference's "
                         "'source only' baseline row, README.md:35); also "
@@ -71,6 +76,8 @@ def main():
     if args.source_only:
         cmd += ["UNSUPNET.BURN_UP_STEP", str(args.iters),
                 "DATASETS.TEST", "('VOC2007_foggyval','VOC2007_cityval')"]
+    if args.ema_keep:
+        cmd += ["UNSUPNET.EMA_KEEP_RATE", str(args.ema_keep)]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "driver.log"), "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
@@ -92,8 +99,12 @@ def summarize(out_dir):
                 d = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "mAP50" in d or "mAP50_student" in d:
-                rows.append((d.get("iteration"), d.get("mAP50"), d.get("mAP50_student"),
+            def pick(suffix):
+                vals = [v for k, v in d.items() if k == suffix or k.endswith("/" + suffix)
+                        or (k.endswith(suffix) and "AP50-" not in k)]
+                return vals[0] if vals else None
+            if pick("mAP50") is not None or pick("mAP50_student") is not None:
+                rows.append((d.get("iteration"), pick("mAP50"), pick("mAP50_student"),
                              d.get("num_pseudo_boxes"), d.get("total_loss")))
     seen = {}
     for it, t, s, npb, tl in rows:
