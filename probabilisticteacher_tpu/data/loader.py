@@ -314,7 +314,11 @@ class SemiSupLoader:
 
         def worker():
             while True:
-                q.put(self._produce_one())
+                try:
+                    q.put(self._produce_one())
+                except RuntimeError:
+                    # interpreter/pool shutdown while prefetching — exit quietly
+                    return
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
