@@ -166,3 +166,23 @@ def test_unlabeled_stream_without_annotations(voc_tree):
     batch = next(iter(loader))
     assert not batch["unlabel"]["gt_valid"].any()
     assert batch["label"]["gt_valid"].any()
+
+
+def test_multi_dataset_eval_prefixes(voc_tree, tmp_path):
+    """With >1 DATASETS.TEST entries, results are dataset-prefixed (detectron2
+    multi-dataset convention) so a second test set cannot overwrite the first."""
+    register_pascal_voc("mde_l", os.path.join(voc_tree, "src"), "train", CLASSES)
+    register_pascal_voc("mde_v1", os.path.join(voc_tree, "val"), "val", CLASSES)
+    register_pascal_voc("mde_v2", os.path.join(voc_tree, "src"), "train", CLASSES)
+    cfg = micro_cfg(str(tmp_path), "mde_l", "mde_l", "mde_v1")
+    cfg.DATASETS.TEST = ("mde_v1", "mde_v2")
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.freeze()
+
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    trainer = PTrainer(cfg)
+    res = trainer.test(trainer.state.student)
+    assert any(k.startswith("mde_v1/") for k in res)
+    assert any(k.startswith("mde_v2/") for k in res)
+    assert "mde_v1/mAP50" in res and "mde_v2/mAP50" in res
