@@ -31,6 +31,9 @@ def main():
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=-1,
+                   help="override cfg.SEED (loader sampling + init + aug "
+                        "streams) for replication runs")
     p.add_argument("--ema-keep", type=float, default=0.0,
                    help="override UNSUPNET.EMA_KEEP_RATE; on a 1/10 schedule "
                         "the reference's 0.9996 (~2500-step horizon) leaves the "
@@ -78,6 +81,8 @@ def main():
                 "DATASETS.TEST", "('VOC2007_foggyval','VOC2007_cityval')"]
     if args.ema_keep:
         cmd += ["UNSUPNET.EMA_KEEP_RATE", str(args.ema_keep)]
+    if args.seed >= 0:
+        cmd += ["SEED", str(args.seed)]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "driver.log"), "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
