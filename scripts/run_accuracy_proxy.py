@@ -31,6 +31,10 @@ def main():
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--weights", default="",
+                   help="MODEL.WEIGHTS init (e.g. a source-only run's orbax "
+                        "checkpoint dir) — the proxy analog of the reference's "
+                        "pretrained-backbone init")
     p.add_argument("--seed", type=int, default=-1,
                    help="override cfg.SEED (loader sampling + init + aug "
                         "streams) for replication runs")
@@ -83,6 +87,8 @@ def main():
         cmd += ["UNSUPNET.EMA_KEEP_RATE", str(args.ema_keep)]
     if args.seed >= 0:
         cmd += ["SEED", str(args.seed)]
+    if args.weights:
+        cmd += ["MODEL.WEIGHTS", args.weights]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "driver.log"), "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
