@@ -24,20 +24,28 @@ def _ckpt_dir(output_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(output_dir), f"model_{step:07d}")
 
 
-def save_checkpoint(output_dir: str, state, keep: int = 100) -> str:
+def save_checkpoint(output_dir: str, state, keep: int = 100,
+                    name: str = "") -> str:
     """Save TrainState at its current step; update the last_checkpoint marker.
 
     ``keep`` bounds retention: after a successful save, older ``model_*``
     directories beyond the newest ``keep`` are deleted (a full ensemble +
     optimizer checkpoint is ~0.5-1.5 GB; a 30k-iter run at CHECKPOINT_PERIOD
     4000 would otherwise accumulate 8 of them).
+
+    ``name`` saves to a fixed directory (e.g. ``model_best``) WITHOUT touching
+    the last_checkpoint marker or the retention scan — resume still follows the
+    latest periodic checkpoint.
     """
     import orbax.checkpoint as ocp
 
     step = int(state.step)
-    path = _ckpt_dir(output_dir, step)
+    path = os.path.join(os.path.abspath(output_dir), name) if name \
+        else _ckpt_dir(output_dir, step)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    if name:
+        return path
     with open(os.path.join(output_dir, "last_checkpoint"), "w") as f:
         f.write(os.path.basename(path))
     if keep > 0:

@@ -135,6 +135,52 @@ class EvalHook(HookBase):
             t.eval_and_log(suffix="", params=t.state.teacher)
 
 
+class BestCheckpointer(HookBase):
+    """Keep the checkpoint with the best value of ``metric`` (default: the
+    teacher's headline mAP50), like detectron2's BestCheckpointer (available to
+    the reference via its detectron2 pin, unregistered there too). Runs right
+    after EvalHook refreshes the metric; saves to ``model_best`` in OUTPUT_DIR.
+
+    The proxy campaign (REPORT_accuracy.md) is the motivation: mean-teacher
+    curves peak mid-schedule under recipe/scale mismatch, so the last
+    checkpoint can be far from the best one.
+    """
+
+    def __init__(self, eval_period: int, metric: str = "mAP50", mode: str = "max"):
+        assert mode in ("max", "min"), mode
+        self.period = eval_period
+        self.metric = metric
+        self.sign = 1.0 if mode == "max" else -1.0
+        self.best: Optional[float] = None
+
+    def _check(self):
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        t = self.trainer
+        val = t.storage.latest().get(self.metric)
+        if val is None:
+            return
+        if self.best is None or self.sign * val > self.sign * self.best:
+            self.best = val
+            from ..checkpoint import save_checkpoint
+
+            path = save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state),
+                                   keep=0, name="model_best")
+            logger.info(f"New best {self.metric}={val:.3f} -> {path}")
+
+    def before_step(self):
+        # runs at the iteration AFTER an eval boundary — after_* hooks run in
+        # reverse registration order, so checking here (instead of after_step)
+        # makes the fresh eval value visible regardless of registration order
+        if self.period and self.trainer.iter > 0 and self.trainer.iter % self.period == 0:
+            self._check()
+
+    def after_train(self):
+        self._check()  # cover an eval landing on the final iteration
+
+
 class ProfilerHook(HookBase):
     """JAX profiler window [START_STEP, START_STEP + NUM_STEPS) (cfg.PROFILER)."""
 

@@ -105,3 +105,53 @@ def test_checkpoint_retention(tmp_path):
     kept = sorted(d for d in os.listdir(out) if d.startswith("model_"))
     assert kept == ["model_0000003", "model_0000004"]
     assert latest_checkpoint(out).endswith("model_0000004")
+
+
+def test_best_checkpointer(tmp_path):
+    """BestCheckpointer saves model_best only on metric improvement and never
+    touches the last_checkpoint marker (resume follows periodic saves)."""
+    import jax.numpy as jnp
+
+    from probabilisticteacher_tpu.engine.hooks import BestCheckpointer
+    from probabilisticteacher_tpu.engine.steps import TrainState
+    from probabilisticteacher_tpu.events import EventStorage
+
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+
+    class Cfg:
+        OUTPUT_DIR = out
+
+    class T:
+        cfg = Cfg()
+        storage = EventStorage()
+        iter = 0
+        state = TrainState(step=jnp.asarray(0, jnp.int32),
+                           student={"w": np.zeros((2,), np.float32)},
+                           teacher={"w": np.zeros((2,), np.float32)}, opt_state={})
+
+    t = T()
+    h = BestCheckpointer(eval_period=10, metric="mAP50")
+    h.trainer = t
+
+    best_dir = os.path.join(out, "model_best")
+    t.iter = 10
+    h.before_step()                      # no metric yet -> nothing saved
+    assert not os.path.exists(best_dir)
+
+    t.storage.put_scalars(mAP50=30.0)
+    h.before_step()
+    assert os.path.exists(best_dir)
+    assert h.best == 30.0
+
+    mt0 = os.path.getmtime(best_dir)
+    t.storage.put_scalars(mAP50=20.0)    # worse -> no overwrite
+    t.iter = 20
+    h.before_step()
+    assert h.best == 30.0
+
+    t.storage.put_scalars(mAP50=44.0)    # better -> overwrite
+    h.after_train()
+    assert h.best == 44.0
+    # periodic-resume marker untouched by best saves
+    assert not os.path.exists(os.path.join(out, "last_checkpoint"))
