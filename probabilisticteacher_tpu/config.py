@@ -278,6 +278,9 @@ def get_cfg() -> CfgNode:
     c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 10.0
     c.SOLVER.AMP = CfgNode()
     c.SOLVER.AMP.ENABLED = True  # bf16 compute on TPU
+    # TPU-native addition: checkpoint-and-exit(75) when host RSS exceeds this
+    # (leak-resilient long runs; see engine.hooks.MemoryGuardHook). 0 = off.
+    c.SOLVER.HOST_RSS_LIMIT_GB = 0.0
     # pt/config.py extension
     c.SOLVER.IMG_PER_BATCH_LABEL = 16
     c.SOLVER.IMG_PER_BATCH_UNLABEL = 16

@@ -181,6 +181,61 @@ class BestCheckpointer(HookBase):
         self._check()  # cover an eval landing on the final iteration
 
 
+class MemoryGuardHook(HookBase):
+    """Checkpoint-and-exit before the host OOM killer strikes.
+
+    Long runs can exhaust HOST memory through leaks outside our control (e.g.
+    a leaking device-transfer client: this repo's tunneled TPU backend leaks
+    ~the full upload size per step, ~35 MB/iter at batch 8 — measured in
+    DESIGN.md). The kernel OOM killer gives no chance to save state; this hook
+    watches /proc/self/status VmRSS every ``period`` iters and, above
+    ``limit_gb``, saves a checkpoint and exits with code 75 (EX_TEMPFAIL) so a
+    supervisor (``train_net.py --supervise``) can relaunch with ``--resume``.
+    The process boundary is what reclaims the leaked memory.
+
+    Extends the reference's crash-and-resume story (last_checkpoint +
+    ``--resume``, ``pt/engine/trainer.py:466-490``) from manual to automatic.
+    """
+
+    EXIT_CODE = 75
+
+    def __init__(self, limit_gb: float, period: int = 50):
+        self.limit_kb = int(limit_gb * 1024 * 1024)
+        self.period = period
+
+    @staticmethod
+    def rss_kb() -> int:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    def after_step(self):
+        import jax
+
+        t = self.trainer
+        if not self.limit_kb or (t.iter + 1) % self.period:
+            return
+        rss = self.rss_kb()
+        if rss <= self.limit_kb:
+            return
+        logger.warning(
+            f"Host RSS {rss / 1e6:.1f} GB exceeds the {self.limit_kb / 1e6:.1f} GB "
+            f"guard at iter {t.iter + 1}; checkpointing and exiting 75 for restart")
+        if jax.process_index() == 0:
+            from ..checkpoint import save_checkpoint
+
+            save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state))
+        for w in t.writers:
+            if hasattr(w, "close"):
+                w.close()
+        raise SystemExit(self.EXIT_CODE)
+
+
 class ProfilerHook(HookBase):
     """JAX profiler window [START_STEP, START_STEP + NUM_STEPS) (cfg.PROFILER)."""
 

@@ -137,6 +137,10 @@ class PTrainer:
         hooks.append(PeriodicCheckpointer(int(self.cfg.SOLVER.CHECKPOINT_PERIOD)))
         hooks.append(EvalHook(int(self.cfg.TEST.EVAL_PERIOD)))
         hooks.append(PeriodicWriter(self.write_period))
+        if float(self.cfg.SOLVER.HOST_RSS_LIMIT_GB) > 0:
+            from .hooks import MemoryGuardHook
+
+            hooks.append(MemoryGuardHook(float(self.cfg.SOLVER.HOST_RSS_LIMIT_GB)))
         return hooks
 
     def register_hooks(self, hooks):

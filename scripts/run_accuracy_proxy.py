@@ -31,6 +31,10 @@ def main():
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--supervise", type=float, default=0.0, metavar="RSS_GB",
+                   help="run under train_net --supervise with "
+                        "SOLVER.HOST_RSS_LIMIT_GB set to this (leak-resilient "
+                        "long runs on the tunneled-TPU host)")
     p.add_argument("--weights", default="",
                    help="MODEL.WEIGHTS init (e.g. a source-only run's orbax "
                         "checkpoint dir) — the proxy analog of the reference's "
@@ -89,6 +93,9 @@ def main():
         cmd += ["SEED", str(args.seed)]
     if args.weights:
         cmd += ["MODEL.WEIGHTS", args.weights]
+    if args.supervise:
+        cmd.insert(cmd.index(os.path.join(REPO, "train_net.py")) + 1, "--supervise")
+        cmd += ["SOLVER.HOST_RSS_LIMIT_GB", str(args.supervise)]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "driver.log"), "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)

@@ -155,3 +155,63 @@ def test_best_checkpointer(tmp_path):
     assert h.best == 44.0
     # periodic-resume marker untouched by best saves
     assert not os.path.exists(os.path.join(out, "last_checkpoint"))
+
+
+def test_memory_guard_hook(tmp_path):
+    """Above the RSS limit: checkpoint written, SystemExit(75) raised."""
+    import jax.numpy as jnp
+    import pytest
+
+    from probabilisticteacher_tpu.engine.hooks import MemoryGuardHook
+    from probabilisticteacher_tpu.engine.steps import TrainState
+    from probabilisticteacher_tpu.events import EventStorage
+
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+
+    class Cfg:
+        OUTPUT_DIR = out
+
+    class T:
+        cfg = Cfg()
+        storage = EventStorage()
+        iter = 0
+        writers = []
+        state = TrainState(step=jnp.asarray(7, jnp.int32),
+                           student={"w": np.zeros((2,), np.float32)},
+                           teacher={"w": np.zeros((2,), np.float32)}, opt_state={})
+
+    assert MemoryGuardHook.rss_kb() > 0  # /proc readable
+
+    h = MemoryGuardHook(limit_gb=10_000.0, period=1)  # huge limit: no trip
+    h.trainer = T()
+    h.after_step()
+
+    h = MemoryGuardHook(limit_gb=0.0001, period=1)    # 100 KB: trips
+    h.trainer = T()
+    with pytest.raises(SystemExit) as e:
+        h.after_step()
+    assert e.value.code == 75
+    assert os.path.exists(os.path.join(out, "model_0000007"))
+    assert os.path.exists(os.path.join(out, "last_checkpoint"))
+
+
+def test_supervise_restarts_on_75(monkeypatch):
+    """supervise() relaunches with --resume on exit 75, stops otherwise."""
+    import train_net
+
+    calls = []
+    rcs = iter([75, 75, 0])
+
+    def fake_call(cmd):
+        calls.append(cmd)
+        return next(rcs)
+
+    monkeypatch.setattr("subprocess.call", fake_call)
+    rc = train_net.supervise(["--supervise", "--config-file", "x.yaml", "K", "V"])
+    assert rc == 0
+    assert len(calls) == 3
+    assert "--supervise" not in calls[0]
+    assert "--resume" not in calls[0]
+    assert calls[1][-1] == "--resume" and calls[2][-1] == "--resume"
+    assert calls[1].count("--resume") == 1

@@ -41,6 +41,32 @@ def setup(args):
     return cfg
 
 
+def supervise(argv):
+    """Relaunch-on-tempfail supervisor (TPU-native addition, ``--supervise``).
+
+    Runs the training CLI as a child process and restarts it with ``--resume``
+    whenever it exits with code 75 — the checkpoint-and-exit code emitted by
+    ``MemoryGuardHook`` when host RSS crosses ``SOLVER.HOST_RSS_LIMIT_GB``.
+    The process boundary reclaims host memory leaked outside our control
+    (e.g. a leaking device-transfer client). Any other exit code is final.
+    """
+    import subprocess
+
+    child = [sys.executable, os.path.abspath(__file__)] + [
+        a for a in argv if a != "--supervise"]
+    attempt = 0
+    while True:
+        cmd = list(child)
+        if attempt > 0 and "--resume" not in cmd:
+            cmd.append("--resume")
+        rc = subprocess.call(cmd)
+        if rc != 75:
+            return rc
+        attempt += 1
+        print(f"[supervise] child hit the memory guard (exit 75); "
+              f"restart #{attempt} with --resume", flush=True)
+
+
 def main(args):
     cfg = setup(args)
 
@@ -74,6 +100,9 @@ def parse_args(argv=None):
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--num-gpus", type=int, default=1,
                         help="accepted for CLI parity; devices come from JAX")
+    parser.add_argument("--supervise", action="store_true",
+                        help="restart-on-memory-guard supervisor (exit 75 -> "
+                             "relaunch with --resume); see SOLVER.HOST_RSS_LIMIT_GB")
     parser.add_argument("--num-machines", type=int, default=1)
     parser.add_argument("--machine-rank", type=int, default=0)
     parser.add_argument("--dist-url", default="auto")
@@ -82,4 +111,6 @@ def parse_args(argv=None):
 
 
 if __name__ == "__main__":
+    if "--supervise" in sys.argv[1:]:
+        sys.exit(supervise(sys.argv[1:]))
     main(parse_args())
