@@ -36,6 +36,11 @@ def save_checkpoint(output_dir: str, state, keep: int = 100,
     ``name`` saves to a fixed directory (e.g. ``model_best``) WITHOUT touching
     the last_checkpoint marker or the retention scan — resume still follows the
     latest periodic checkpoint.
+
+    Multi-process: ALL ranks must call this together. Orbax coordinates the
+    save internally (its save path runs a cross-process sync, so a
+    rank-0-gated call deadlocks the pod — observed as a Gloo allgather
+    timeout); the marker file and retention scan run on rank 0 only.
     """
     import orbax.checkpoint as ocp
 
@@ -44,7 +49,7 @@ def save_checkpoint(output_dir: str, state, keep: int = 100,
         else _ckpt_dir(output_dir, step)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.device_get(state._asdict()), force=True)
-    if name:
+    if jax.process_index() != 0 or name:
         return path
     with open(os.path.join(output_dir, "last_checkpoint"), "w") as f:
         f.write(os.path.basename(path))
@@ -116,20 +121,40 @@ def _cast_like(loaded, reference):
 
 
 # --------------------------------------------------------------------------- #
-# Caffe VGG16 pretrained import (reference ``vgg.py:127-152``)
+# Caffe / torchvision VGG pretrained import (reference ``vgg.py:127-152``)
 # --------------------------------------------------------------------------- #
-# torchvision features.* index -> (our block, conv) for VGG16
-_VGG16_TORCH_LAYOUT = [
-    (0, "block1_conv1"), (2, "block1_conv2"),
-    (5, "block2_conv1"), (7, "block2_conv2"),
-    (10, "block3_conv1"), (12, "block3_conv2"), (14, "block3_conv3"),
-    (17, "block4_conv1"), (19, "block4_conv2"), (21, "block4_conv3"),
-    (24, "block5_conv1"), (26, "block5_conv2"), (28, "block5_conv3"),
-]
+def _vgg_torch_layout(depth: int):
+    """torchvision ``features.*`` index -> our conv name, for any VGG depth.
+
+    torchvision's no-norm VGG features are [Conv, ReLU]*k + MaxPool per stage
+    (all five stages end with a pool), so conv indices advance by 2 per conv
+    and 1 per pool — the same enumeration the reference's importer walks for an
+    arbitrary depth (``pt/modeling/backbone/vgg.py:127-152``).
+    """
+    from .modeling.backbone import VGG_STAGES
+
+    layout, idx = [], 0
+    for bi, channels in enumerate(VGG_STAGES[depth], start=1):
+        for ci, _ in enumerate(channels, start=1):
+            layout.append((idx, f"block{bi}_conv{ci}"))
+            idx += 2  # Conv + ReLU
+        idx += 1  # MaxPool
+    return layout
+
+
+def _infer_vgg_depth(backbone_params) -> int:
+    from .modeling.backbone import VGG_STAGES
+
+    conv_names = {k for k in backbone_params if k.startswith("block")}
+    for depth in VGG_STAGES:
+        if {name for _, name in _vgg_torch_layout(depth)} == conv_names:
+            return depth
+    raise ValueError(f"Backbone params match no known VGG depth: {sorted(conv_names)}")
 
 
 def load_vgg_caffe(params: Any, path: str) -> Any:
-    """Load vgg16_caffe weights (.pth via torch, or .npz) into params["backbone"].
+    """Load Caffe/torchvision VGG weights (.pth via torch, or .npz) into
+    params["backbone"]; works for VGG 11/13/16/19 (depth inferred from params).
 
     The Caffe model expects BGR 0-255 input with mean subtraction — exactly our
     preprocessing (``Arch.pixel_mean``). Conv kernels are transposed OIHW -> HWIO.
@@ -143,10 +168,13 @@ def load_vgg_caffe(params: Any, path: str) -> Any:
         import torch
 
         sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):  # a full torchvision model object
+            sd = sd.state_dict()
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
         raw = {k: v.numpy() for k, v in sd.items()}
 
     bb = dict(params["backbone"])
-    for idx, name in _VGG16_TORCH_LAYOUT:
+    for idx, name in _vgg_torch_layout(_infer_vgg_depth(bb)):
         wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
         if wk not in raw:
             raise KeyError(f"{wk} missing from {path}")

@@ -66,23 +66,32 @@ class PeriodicWriter(HookBase):
 
     The metrics of step i are fetched while step i+1 runs (one stacked
     device->host transfer — per-scalar fetches cost a full RPC roundtrip each
-    on tunneled backends).
+    on tunneled backends): a snapshot of ``pending_metrics`` is taken in
+    ``before_step``, so the fetch in ``after_step`` never blocks on the step
+    dispatched this iteration (only at the final iteration, where the current
+    step's metrics are fetched synchronously so the last write isn't stale).
     """
 
     def __init__(self, period: int = 20):
         self.period = period
+        self._prev = None  # metrics of the PREVIOUS step (complete by now)
+
+    def before_step(self):
+        self._prev = self.trainer.pending_metrics
 
     def after_step(self):
         t = self.trainer
         it = t.iter
-        if t.pending_metrics is None:
+        final = it == t.max_iter - 1
+        metrics = t.pending_metrics if final else self._prev
+        if metrics is None:
             return
-        if it % self.period == 0 or it == t.max_iter - 1:
+        if it % self.period == 0 or final:
             import jax.numpy as jnp
             import numpy as np
 
-            names = list(t.pending_metrics)
-            vals = np.asarray(jnp.stack([t.pending_metrics[k] for k in names]))
+            names = list(metrics)
+            vals = np.asarray(jnp.stack([metrics[k] for k in names]))
             host = dict(zip(names, vals.tolist()))
             from ..parallel import host_max
 
@@ -99,8 +108,10 @@ class PeriodicWriter(HookBase):
 
 
 class PeriodicCheckpointer(HookBase):
-    """Save the ensemble TrainState every ``period`` iters on rank 0
-    (reference: ``trainer.py:522-527``)."""
+    """Save the ensemble TrainState every ``period`` iters (reference rank-0
+    save, ``trainer.py:522-527``). ALL ranks enter save_checkpoint — orbax's
+    save path is a cross-process sync point, so gating it on rank 0 deadlocks
+    a pod; the actual file write + marker remain single-writer inside."""
 
     def __init__(self, period: int, keep: int = 100):
         self.period = period
@@ -111,11 +122,12 @@ class PeriodicCheckpointer(HookBase):
 
         t = self.trainer
         nxt = t.iter + 1
-        if self.period and nxt % self.period == 0 and jax.process_index() == 0:
+        if self.period and nxt % self.period == 0:
             from ..checkpoint import save_checkpoint
 
             save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state), keep=self.keep)
-            logger.info(f"Checkpoint saved at iter {nxt}")
+            if jax.process_index() == 0:
+                logger.info(f"Checkpoint saved at iter {nxt}")
 
 
 class EvalHook(HookBase):
@@ -153,21 +165,60 @@ class BestCheckpointer(HookBase):
         self.sign = 1.0 if mode == "max" else -1.0
         self.best: Optional[float] = None
 
+    def _marker_path(self) -> str:
+        import os
+
+        return os.path.join(self.trainer.cfg.OUTPUT_DIR, "model_best.json")
+
+    def before_train(self):
+        # persist the best value across restarts (--supervise/--resume):
+        # without this, the first post-restart eval would overwrite model_best
+        # even when worse (ADVICE r2)
+        import json
+        import os
+
+        path = self._marker_path()
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+                if rec.get("metric") == self.metric:
+                    self.best = float(rec["best"])
+                    logger.info(f"BestCheckpointer resumed best {self.metric}={self.best}")
+            except (OSError, ValueError, KeyError):
+                pass
+
     def _check(self):
         import jax
 
-        if jax.process_index() != 0:
-            return
         t = self.trainer
-        val = t.storage.latest().get(self.metric)
-        if val is None:
-            return
-        if self.best is None or self.sign * val > self.sign * self.best:
-            self.best = val
-            from ..checkpoint import save_checkpoint
+        # only rank 0 holds eval metrics (EvalHook is rank-gated); it decides,
+        # then the decision is broadcast so EVERY rank enters save_checkpoint
+        # together (orbax's save is a cross-process sync point)
+        val = t.storage.latest().get(self.metric) if jax.process_index() == 0 else None
+        improved = val is not None and (
+            self.best is None or self.sign * val > self.sign * self.best)
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
 
-            path = save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state),
-                                   keep=0, name="model_best")
+            flag, bval = multihost_utils.broadcast_one_to_all(np.asarray(
+                [1.0 if improved else 0.0, val if val is not None else 0.0],
+                np.float32))
+            improved, val = bool(flag), float(bval)
+        if not improved:
+            return
+        self.best = val
+        from ..checkpoint import save_checkpoint
+
+        path = save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state),
+                               keep=0, name="model_best")
+        if jax.process_index() == 0:
+            import json
+
+            with open(self._marker_path(), "w") as f:
+                json.dump({"metric": self.metric, "best": val,
+                           "step": int(t.state.step)}, f)
             logger.info(f"New best {self.metric}={val:.3f} -> {path}")
 
     def before_step(self):
@@ -220,16 +271,23 @@ class MemoryGuardHook(HookBase):
         t = self.trainer
         if not self.limit_kb or (t.iter + 1) % self.period:
             return
-        rss = self.rss_kb()
+        # coordinate the trip across ranks: every process compares the GLOBAL
+        # max RSS, so on a pod all ranks exit 75 together instead of one rank
+        # dying mid-collective and hanging the rest (ADVICE r2); host_max is a
+        # no-op single-process
+        from ..parallel import host_max
+
+        rss = host_max(float(self.rss_kb()))
         if rss <= self.limit_kb:
             return
         logger.warning(
             f"Host RSS {rss / 1e6:.1f} GB exceeds the {self.limit_kb / 1e6:.1f} GB "
             f"guard at iter {t.iter + 1}; checkpointing and exiting 75 for restart")
-        if jax.process_index() == 0:
-            from ..checkpoint import save_checkpoint
+        # the trip is globally coordinated (host_max above), so every rank
+        # reaches this save together — required: orbax syncs across processes
+        from ..checkpoint import save_checkpoint
 
-            save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state))
+        save_checkpoint(t.cfg.OUTPUT_DIR, jax.device_get(t.state))
         for w in t.writers:
             if hasattr(w, "close"):
                 w.close()

@@ -59,6 +59,7 @@ class Arch:
         (724.0773, 362.0387), (512.0, 512.0), (362.0387, 724.0773),
     )
     # RPN
+    rpn_boundary_thresh: float = -1.0  # MODEL.RPN.BOUNDARY_THRESH (-1 = off)
     rpn_iou_thresholds: Tuple[float, ...] = (0.3, 0.7)
     rpn_batch_per_image: int = 256
     rpn_pos_fraction: float = 0.25
@@ -84,6 +85,10 @@ class Arch:
     detections_per_image: int = 100
     # PT specifics
     model_type: str = "GUASSIAN"  # or "LAPLACE"
+    # teacher weak-pass RPN budgets (UNSUPNET.TEACHER_{PRE,POST}_NMS_TOPK);
+    # -1 = follow the train budgets (reference parity)
+    teacher_pre_nms_topk: int = -1
+    teacher_post_nms_topk: int = -1
     tau: Tuple[float, float] = (0.5, 0.5)
     efl: bool = True
     efl_lambda: Tuple[float, float] = (0.5, 0.5)
@@ -110,6 +115,7 @@ class Arch:
             anchor_offset=float(m.ANCHOR_GENERATOR.OFFSET),
             learnable_anchors=(m.ANCHOR_GENERATOR.NAME == "DifferentiableAnchorGenerator"),
             anchor_init_wh=tuple(tuple(float(v) for v in wh) for wh in m.ANCHOR_GENERATOR.ANCHOR[0]),
+            rpn_boundary_thresh=float(m.RPN.BOUNDARY_THRESH),
             rpn_iou_thresholds=tuple(m.RPN.IOU_THRESHOLDS),
             rpn_batch_per_image=m.RPN.BATCH_SIZE_PER_IMAGE,
             rpn_pos_fraction=m.RPN.POSITIVE_FRACTION,
@@ -134,6 +140,8 @@ class Arch:
             nms_thresh=m.ROI_HEADS.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
             model_type=cfg.UNSUPNET.MODEL_TYPE,
+            teacher_pre_nms_topk=int(cfg.UNSUPNET.get("TEACHER_PRE_NMS_TOPK", -1)),
+            teacher_post_nms_topk=int(cfg.UNSUPNET.get("TEACHER_POST_NMS_TOPK", -1)),
             tau=tuple(cfg.UNSUPNET.TAU),
             efl=cfg.UNSUPNET.EFL,
             efl_lambda=tuple(cfg.UNSUPNET.EFL_LAMBDA),
@@ -235,7 +243,8 @@ class PTDetector:
 
     # ------------------------------------------------------------- proposals
     def predict_proposals(
-        self, anchors, obj, deltas, image_hw, training: bool, grid_hw=None
+        self, anchors, obj, deltas, image_hw, training: bool, grid_hw=None,
+        budget=None,
     ) -> Proposals:
         """find_top_rpn_proposals (``proposal_utils.py:27-154``), static shapes.
 
@@ -249,8 +258,8 @@ class PTDetector:
         """
         a = self.arch
         r = obj.shape[1]
-        pre = min(a.rpn_pre_nms_topk[int(training)], r)
-        post = a.rpn_post_nms_topk[int(training)]
+        pre = min(budget[0] if budget else a.rpn_pre_nms_topk[int(training)], r)
+        post = budget[1] if budget else a.rpn_post_nms_topk[int(training)]
         anchors = jax.lax.stop_gradient(anchors)
         obj = jax.lax.stop_gradient(obj)
         deltas = jax.lax.stop_gradient(deltas)
@@ -275,6 +284,40 @@ class PTDetector:
             pb, ps, pv = jax.vmap(per_image_mp)(obj, deltas, image_hw)
             return Proposals(pb, ps, pv)
 
+        # hybrid NMS: per-anchor-channel 3x3 local-max PREFILTER, then EXACT
+        # greedy NMS on the survivors. At stride 16 with anchors >= 128 px, two
+        # same-shape boxes one grid cell apart overlap at IoU >= 0.78 > the 0.7
+        # threshold, so the spatial prefilter removes almost only boxes exact
+        # NMS would suppress anyway; unlike full MaxpoolNMS there is NO
+        # cross-anchor max (different shapes at one location legitimately
+        # coexist — collapsing them is what broke accuracy in proxy run H).
+        use_hybrid = a.rpn_nms_impl == "hybrid" and grid_hw is not None
+        if use_hybrid:
+            from ..ops.maxpool_nms import maxpool_keep
+
+            hybrid_pre = min(pre, max(2 * post, 64))
+
+            def per_image_hy(obj_i, deltas_i, hw):
+                rescale = 1.0 - jnp.mean(jax.nn.sigmoid(deltas_i[:, 4:]), axis=-1)
+                s_full = obj_i * rescale
+                keep_g = maxpool_keep(
+                    s_full.reshape(grid_hw[0], grid_hw[1], self.A),
+                    cross_anchor=False,
+                ).reshape(-1)
+                scores, idx = jax.lax.top_k(jnp.where(keep_g, s_full, -jnp.inf),
+                                            hybrid_pre)
+                d = jnp.take(deltas_i, idx, axis=0)
+                anc = jnp.take(anchors, idx, axis=0)
+                boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
+                boxes = box_ops.clip_boxes(boxes, hw)
+                keep = box_ops.nonempty(boxes, a.rpn_min_size)
+                keep &= jnp.all(jnp.isfinite(boxes), axis=-1) & jnp.isfinite(scores)
+                kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
+                return jnp.take(boxes, kidx, axis=0), jnp.take(scores, kidx), kvalid
+
+            pb, ps, pv = jax.vmap(per_image_hy)(obj, deltas, image_hw)
+            return Proposals(pb, ps, pv)
+
         def per_image(obj_i, deltas_i, hw):
             scores, idx = jax.lax.top_k(obj_i, pre)
             d = jnp.take(deltas_i, idx, axis=0)           # (pre, 8)
@@ -293,23 +336,32 @@ class PTDetector:
         return Proposals(pb, ps, pv)
 
     # --------------------------------------------------------- RPN sup losses
-    def rpn_supervised_losses(self, anchors, obj, deltas, gt: GroundTruth, rng) -> Dict[str, jnp.ndarray]:
+    def rpn_supervised_losses(self, anchors, obj, deltas, gt: GroundTruth, rng,
+                              image_hw=None) -> Dict[str, jnp.ndarray]:
         """``GuassianRPN.losses`` (``rpn.py:191-255``): sampled BCE objectness +
         Gaussian/Laplace NLL box regression, both / (256 * N)."""
         a = self.arch
         n = obj.shape[0]
         anchors_sg = jax.lax.stop_gradient(anchors)
+        if image_hw is None:
+            image_hw = jnp.zeros((n, 2), jnp.float32)  # unused unless boundary filter on
 
-        def label_one(key, gt_boxes, gt_valid):
+        def label_one(key, gt_boxes, gt_valid, hw):
             iou = masked_iou(box_ops.pairwise_iou(gt_boxes, anchors_sg), gt_valid)
             midx, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
+            if a.rpn_boundary_thresh >= 0:
+                # legacy RPN boundary filter (detectron2 rpn label path;
+                # MODEL.RPN.BOUNDARY_THRESH, default -1 = off): anchors not
+                # fully inside image+margin are ignored (label -1)
+                inside = box_ops.inside_box(anchors_sg, hw, a.rpn_boundary_thresh)
+                labels = jnp.where(inside, labels, -1)
             pos, neg = subsample_labels(
                 key, labels.astype(jnp.int32), a.rpn_batch_per_image, a.rpn_pos_fraction, 0
             )
             return pos, neg, jnp.take(gt_boxes, midx, axis=0)
 
         keys = jax.random.split(rng, n)
-        pos, neg, matched = jax.vmap(label_one)(keys, gt.boxes, gt.valid)
+        pos, neg, matched = jax.vmap(label_one)(keys, gt.boxes, gt.valid, image_hw)
         matched = jax.lax.stop_gradient(matched)
 
         obj_loss = L.binary_cross_entropy_with_logits_sum(obj, pos.astype(jnp.float32), pos | neg)
@@ -400,7 +452,8 @@ class PTDetector:
         feat = self.features(params, images)
         obj, deltas = self.rpn_predict(params, feat)
         anchors = jax.lax.stop_gradient(self.anchors(params, feat.shape[1], feat.shape[2]))
-        losses = self.rpn_supervised_losses(anchors, obj, deltas, gt, kr)
+        losses = self.rpn_supervised_losses(anchors, obj, deltas, gt, kr,
+                                            images.image_hw)
         proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
                                            training=True, grid_hw=feat.shape[1:3])
         losses.update(self.roi_supervised_losses(params, feat, proposals, gt, ko))
@@ -411,12 +464,27 @@ class PTDetector:
         """branch="unsup_data_weak" (``rcnn.py:64-78`` + ``trainer.py:179-246``):
         RPN proposals (train topk — the teacher stays in train mode) -> ROI inference
         with sigma-discounted scores -> "all" pseudo labels (no thresholding beyond
-        the standard 0.05 score filter inside fast_rcnn inference)."""
+        the standard 0.05 score filter inside fast_rcnn inference).
+
+        TEACHER_{PRE,POST}_NMS_TOPK (when >0) override the proposal budgets of
+        this pass only: the teacher pools/classifies every post-NMS proposal but
+        keeps just the top DETECTIONS_PER_IMAGE, so a lower post budget cuts its
+        ROIAlign/box-head/class-NMS cost without touching the student."""
+        a = self.arch
+        budget = None
+        if a.teacher_pre_nms_topk > 0 or a.teacher_post_nms_topk > 0:
+            budget = (
+                a.teacher_pre_nms_topk if a.teacher_pre_nms_topk > 0
+                else a.rpn_pre_nms_topk[1],
+                a.teacher_post_nms_topk if a.teacher_post_nms_topk > 0
+                else a.rpn_post_nms_topk[1],
+            )
         feat = self.features(params, images)
         obj, deltas = self.rpn_predict(params, feat)
         anchors = self.anchors(params, feat.shape[1], feat.shape[2])
         proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
-                                           training=True, grid_hw=feat.shape[1:3])
+                                           training=True, grid_hw=feat.shape[1:3],
+                                           budget=budget)
         det = self._roi_inference(params, feat, proposals, images.image_hw)
         out = PseudoLabels(boxes=det.boxes, logits=det.logits, sigma=det.sigma, valid=det.valid)
         return jax.tree.map(jax.lax.stop_gradient, out)
@@ -628,7 +696,8 @@ class PTDetector:
         anchors = self.anchors(params, feat.shape[1], feat.shape[2])
         anchors_sg = jax.lax.stop_gradient(anchors)
 
-        sup = self.rpn_supervised_losses(anchors_sg, obj[:nl], deltas[:nl], gt_l, kr)
+        sup = self.rpn_supervised_losses(anchors_sg, obj[:nl], deltas[:nl], gt_l, kr,
+                                         images.image_hw[:nl])
         unsup = self._rpn_unsup_losses(anchors, anchors_sg, obj[nl:], deltas[nl:], pseudo)
 
         # one NMS pass over all images (both branches use train-time topk)

@@ -29,7 +29,11 @@ def main():
     p.add_argument("--data", default=os.path.join(REPO, ".proxy_data"))
     p.add_argument("--out", default=os.path.join(REPO, ".proxy_runs", "r2"))
     p.add_argument("--no-amp", action="store_true")
-    p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool"])
+    p.add_argument("--nms", default="greedy", choices=["greedy", "maxpool", "hybrid"])
+    p.add_argument("--teacher-pre", type=int, default=-1,
+                   help="UNSUPNET.TEACHER_PRE_NMS_TOPK (round-3 perf lever)")
+    p.add_argument("--teacher-post", type=int, default=-1,
+                   help="UNSUPNET.TEACHER_POST_NMS_TOPK (round-3 perf lever)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--supervise", type=float, default=0.0, metavar="RSS_GB",
                    help="run under train_net --supervise with "
@@ -84,6 +88,10 @@ def main():
         "MODEL.RPN.NMS_IMPL", args.nms,
         "OUTPUT_DIR", args.out,
     ]
+    if args.teacher_pre > 0:
+        cmd += ["UNSUPNET.TEACHER_PRE_NMS_TOPK", str(args.teacher_pre)]
+    if args.teacher_post > 0:
+        cmd += ["UNSUPNET.TEACHER_POST_NMS_TOPK", str(args.teacher_post)]
     if args.source_only:
         cmd += ["UNSUPNET.BURN_UP_STEP", str(args.iters),
                 "DATASETS.TEST", "('VOC2007_foggyval','VOC2007_cityval')"]

@@ -154,7 +154,8 @@ def test_vgg_caffe_import_roundtrip(tmp_path):
     """vgg16_caffe.npz -> params: name map + OIHW->HWIO transpose (vgg.py:130-145)."""
     import jax
 
-    from probabilisticteacher_tpu.checkpoint import _VGG16_TORCH_LAYOUT, load_vgg_caffe
+    from probabilisticteacher_tpu.checkpoint import _vgg_torch_layout, load_vgg_caffe
+    _VGG16_TORCH_LAYOUT = _vgg_torch_layout(16)
     from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
 
     det = PTDetector(Arch(vgg_depth=16, fc_dim=16))

