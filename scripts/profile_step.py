@@ -85,7 +85,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--maxpool-nms", action="store_true")
+    p.add_argument("--nms-impl", default="exact",
+                   choices=("exact", "maxpool", "hybrid"))
+    p.add_argument("--teacher-pre", type=int, default=-1)
+    p.add_argument("--teacher-post", type=int, default=-1)
     p.add_argument("--keep", default=None, help="keep trace dir at this path")
     args = p.parse_args()
 
@@ -95,7 +98,8 @@ def main():
     canvas, depth, amp = (608, 1216), 16, True
     budgets = (12000, 2000, 512, 512, 100)
     mutual, state, (limg, lgt, uimg) = bench.build(
-        args.batch, canvas, depth, amp, budgets, args.maxpool_nms)
+        args.batch, canvas, depth, amp, budgets, args.nms_impl,
+        args.teacher_pre, args.teacher_post)
     key = jax.random.key(0)
 
     tracedir = args.keep or tempfile.mkdtemp(prefix="ptprof_")

@@ -51,6 +51,12 @@ def main():
                         "the reference's 0.9996 (~2500-step horizon) leaves the "
                         "teacher permanently lagging — 0.996 matches the "
                         "horizon to the scaled schedule")
+    p.add_argument("--dress-rehearsal", action="store_true",
+                   help="full PRODUCTION shapes (600px train/test, 608x1344 "
+                        "canvases, batch 16+16, the unscaled 30k LR schedule) "
+                        "for --iters iterations: locks compile + HBM at the "
+                        "real-data recipe's shapes before a real C2F run "
+                        "(VERDICT r2 Next #6c). Pair with --iters 50.")
     p.add_argument("--source-only", action="store_true",
                    help="burn-in only for the whole schedule (the reference's "
                         "'source only' baseline row, README.md:35); also "
@@ -88,6 +94,22 @@ def main():
         "MODEL.RPN.NMS_IMPL", args.nms,
         "OUTPUT_DIR", args.out,
     ]
+    if args.dress_rehearsal:
+        # production shapes exactly as a real C2F run would compile them:
+        # 600px inputs on the default 608x1344 canvases, the full 30k-iter LR
+        # schedule (SOLVER.STEPS from final_c2f.yaml), burn-in boundary inside
+        # the window so BOTH the burn-in and mutual graphs compile + fit
+        for k in ("SOLVER.MAX_ITER", "SOLVER.STEPS", "UNSUPNET.BURN_UP_STEP",
+                  "INPUT.MIN_SIZE_TRAIN", "INPUT.MIN_SIZE_TEST",
+                  "INPUT.CANVAS.WIDE", "INPUT.CANVAS.TALL",
+                  "SOLVER.WARMUP_ITERS", "TEST.EVAL_PERIOD",
+                  "SOLVER.CHECKPOINT_PERIOD"):
+            i = cmd.index(k)
+            del cmd[i:i + 2]
+        cmd += ["SOLVER.MAX_ITER", str(args.iters),
+                "UNSUPNET.BURN_UP_STEP", str(max(args.iters // 2, 1)),
+                "TEST.EVAL_PERIOD", str(args.iters),
+                "SOLVER.CHECKPOINT_PERIOD", str(args.iters)]
     if args.teacher_pre > 0:
         cmd += ["UNSUPNET.TEACHER_PRE_NMS_TOPK", str(args.teacher_pre)]
     if args.teacher_post > 0:
