@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Round-3 perf-lever sweep (VERDICT r2 Next #2): serial real-chip A/B of the
+algorithm-level levers against the conv-bound roofline.
+
+Runs ``bench.py --worker`` once per lever combo (one chip — strictly serial),
+collects each JSON record, and writes a table to stdout plus
+``docs/lever_sweep_r3.json``. Each combo is a distinct jit graph, so the first
+run of each pays a (persistent-cached) compile.
+
+Combos target the non-conv 155 ms of the 373 ms batch-8 step (DESIGN.md
+round-2 trace): RPN NMS while-loops (hybrid = 3x3 local-max prefilter + exact
+NMS on survivors), and the teacher weak-pass budgets (8 img x 2000 post-NMS
+proposals dominate ROIAlign volume: 16000 of 28288 pooled boxes/iter).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COMBOS = [
+    # (name, extra worker args)
+    ("baseline_exact", []),
+    ("hybrid", ["--nms-impl", "hybrid"]),
+    ("teacher1000", ["--teacher-pre", "6000", "--teacher-post", "1000"]),
+    ("hybrid_teacher1000", ["--nms-impl", "hybrid",
+                            "--teacher-pre", "6000", "--teacher-post", "1000"]),
+    ("hybrid_teacher500", ["--nms-impl", "hybrid",
+                           "--teacher-pre", "3000", "--teacher-post", "500"]),
+]
+
+
+def main():
+    only = sys.argv[1:] or None
+    out_path = os.path.join(REPO, "docs", "lever_sweep_r3.json")
+    results = {}
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+    for name, extra in COMBOS:
+        if only and name not in only:
+            continue
+        if name in results and results[name].get("value", 0) > 0:
+            print(f"[sweep] {name}: cached {results[name]['value']}", flush=True)
+            continue
+        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
+               "--iters", "8", "--windows", "3"] + extra
+        print(f"[sweep] {name}: {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                                  timeout=2400)
+            lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+            rec = json.loads(lines[-1]) if proc.returncode == 0 and lines else \
+                {"value": 0.0, "error": f"rc={proc.returncode}"}
+        except subprocess.TimeoutExpired:
+            rec = {"value": 0.0, "error": "timeout"}
+        rec["wall_s"] = round(time.time() - t0, 1)
+        results[name] = rec
+        json.dump(results, open(out_path, "w"), indent=1)
+        print(f"[sweep] {name}: {rec.get('value')} img/s/chip "
+              f"(windows {rec.get('windows')}, wall {rec['wall_s']} s)", flush=True)
+    print(json.dumps({k: v.get("value") for k, v in results.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
