@@ -81,6 +81,7 @@ def load_checkpoint(path: str, state):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)  # orbax rejects relative paths
     restored = ckptr.restore(path, item=jax.device_get(state._asdict()))
     return type(state)(**{k: restored[k] for k in state._asdict()})
 
@@ -90,7 +91,7 @@ def load_weights(path: str, state, student_only: bool = False):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path)
+    restored = ckptr.restore(os.path.abspath(path))  # orbax rejects relative paths
     new = state._replace(student=_cast_like(restored["student"], state.student))
     if not student_only and "teacher" in restored:
         new = new._replace(teacher=_cast_like(restored["teacher"], state.teacher))

@@ -86,3 +86,17 @@ def test_load_weights_only(tmp_path):
     # optimizer state untouched (weights-only semantics, trainer.py:483-486)
     np.testing.assert_allclose(np.asarray(loaded.opt_state["momentum"]["w"]),
                                np.asarray(fresh.opt_state["momentum"]["w"]))
+
+def test_load_weights_relative_path(tmp_path, monkeypatch):
+    """orbax rejects relative paths; loaders must absolutize (MODEL.WEIGHTS is
+    routinely given relative on the CLI, e.g. .proxy_runs/.../model_0003000)."""
+    out = str(tmp_path / "run")
+    state = _tiny_state()
+    path = save_checkpoint(out, state)
+    monkeypatch.chdir(tmp_path)
+    rel = os.path.relpath(path, str(tmp_path))
+    loaded = load_weights(rel, _tiny_state(seed=1))
+    np.testing.assert_allclose(np.asarray(loaded.student["w"]),
+                               np.asarray(state.student["w"]))
+    restored = load_checkpoint(rel, jax.tree.map(jnp.zeros_like, state))
+    assert int(restored.step) == 7
