@@ -52,7 +52,7 @@ def log(msg):
 
 
 def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets, nms_impl="exact",
-          teacher_pre=-1, teacher_post=-1):
+          teacher_pre=-1, teacher_post=-1, teacher_cand=-1):
     import jax
 
     from probabilisticteacher_tpu.config import get_cfg
@@ -77,6 +77,7 @@ def build(batch: int, canvas, vgg_depth: int, amp: bool, budgets, nms_impl="exac
         cfg.MODEL.RPN.NMS_IMPL = nms_impl
     cfg.UNSUPNET.TEACHER_PRE_NMS_TOPK = teacher_pre
     cfg.UNSUPNET.TEACHER_POST_NMS_TOPK = teacher_post
+    cfg.UNSUPNET.TEACHER_NMS_CANDIDATES = teacher_cand
 
     arch = Arch.from_cfg(cfg)
     det = PTDetector(arch)
@@ -227,7 +228,7 @@ def run_worker(args):
     t0 = time.perf_counter()
     mutual, state, (limg, lgt, uimg) = build(batch, canvas, depth, amp, budgets,
                                              args.nms_impl, args.teacher_pre,
-                                             args.teacher_post)
+                                             args.teacher_post, args.teacher_cand)
     key = jax.random.key(0)
     # compile + warmup (float() forces a real host sync — block_until_ready does
     # NOT block on tunneled backends, so every timed iteration must fetch a scalar;
@@ -294,7 +295,8 @@ def run_orchestrated(args):
                   "--iters", str(args.iters), "--windows", str(args.windows),
                   "--nms-impl", args.nms_impl,
                   "--teacher-pre", str(args.teacher_pre),
-                  "--teacher-post", str(args.teacher_post)]
+                  "--teacher-post", str(args.teacher_post),
+                  "--teacher-cand", str(args.teacher_cand)]
     if args.batch:
         worker_cmd += ["--batch", str(args.batch)]
 
@@ -363,6 +365,8 @@ def main(argv=None):
                    help="UNSUPNET.TEACHER_PRE_NMS_TOPK (-1 = train budget)")
     p.add_argument("--teacher-post", type=int, default=-1,
                    help="UNSUPNET.TEACHER_POST_NMS_TOPK (-1 = train budget)")
+    p.add_argument("--teacher-cand", type=int, default=-1,
+                   help="UNSUPNET.TEACHER_NMS_CANDIDATES (-1 = all P*K)")
     p.add_argument("--max-attempts", type=int, default=3)
     p.add_argument("--attempt-timeout-s", type=float, default=2100.0,
                    help="first attempt (may include a cold 10-25 min compile)")

@@ -349,6 +349,11 @@ def get_cfg() -> CfgNode:
     # proxy campaign (see REPORT_accuracy.md round 3).
     c.UNSUPNET.TEACHER_PRE_NMS_TOPK = -1
     c.UNSUPNET.TEACHER_POST_NMS_TOPK = -1
+    # Top-C candidate prefilter before the teacher's class-aware NMS (the
+    # while-loop otherwise runs over POST_NMS_TOPK * K flat candidates).
+    # -1 = off (exact, reference parity); near-exact when C >> the top
+    # DETECTIONS_PER_IMAGE actually kept. Eval inference is never prefiltered.
+    c.UNSUPNET.TEACHER_NMS_CANDIDATES = -1
 
     return c
 

@@ -89,6 +89,9 @@ class Arch:
     # -1 = follow the train budgets (reference parity)
     teacher_pre_nms_topk: int = -1
     teacher_post_nms_topk: int = -1
+    # teacher weak-pass class-NMS candidate prefilter
+    # (UNSUPNET.TEACHER_NMS_CANDIDATES); -1 = all P*K candidates (parity)
+    teacher_nms_candidates: int = -1
     tau: Tuple[float, float] = (0.5, 0.5)
     efl: bool = True
     efl_lambda: Tuple[float, float] = (0.5, 0.5)
@@ -142,6 +145,7 @@ class Arch:
             model_type=cfg.UNSUPNET.MODEL_TYPE,
             teacher_pre_nms_topk=int(cfg.UNSUPNET.get("TEACHER_PRE_NMS_TOPK", -1)),
             teacher_post_nms_topk=int(cfg.UNSUPNET.get("TEACHER_POST_NMS_TOPK", -1)),
+            teacher_nms_candidates=int(cfg.UNSUPNET.get("TEACHER_NMS_CANDIDATES", -1)),
             tau=tuple(cfg.UNSUPNET.TAU),
             efl=cfg.UNSUPNET.EFL,
             efl_lambda=tuple(cfg.UNSUPNET.EFL_LAMBDA),
@@ -485,7 +489,8 @@ class PTDetector:
         proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
                                            training=True, grid_hw=feat.shape[1:3],
                                            budget=budget)
-        det = self._roi_inference(params, feat, proposals, images.image_hw)
+        det = self._roi_inference(params, feat, proposals, images.image_hw,
+                                  nms_candidates=a.teacher_nms_candidates)
         out = PseudoLabels(boxes=det.boxes, logits=det.logits, sigma=det.sigma, valid=det.valid)
         return jax.tree.map(jax.lax.stop_gradient, out)
 
@@ -498,16 +503,25 @@ class PTDetector:
                                            training=False, grid_hw=feat.shape[1:3])
         return self._roi_inference(params, feat, proposals, images.image_hw)
 
-    def _roi_inference(self, params, feat, proposals: Proposals, image_hw) -> Detections:
+    def _roi_inference(self, params, feat, proposals: Proposals, image_hw,
+                       nms_candidates: int = -1) -> Detections:
         """``fast_rcnn_inference_single_image`` (``fast_rcnn.py:34-120``):
         softmax minus bg -> per-class decode + clip -> score_thresh filter ->
         sigma discount ``score *= 1 - sum(sigmoid(sigma))/4`` -> class-aware NMS ->
-        top ``detections_per_image``; keeps raw class logits + raw sigma."""
+        top ``detections_per_image``; keeps raw class logits + raw sigma.
+
+        ``nms_candidates`` > 0 prefilters the P*K (proposal, class) candidates
+        to the top-C by score before the class-aware NMS while-loop — a perf
+        lever for the teacher weak pass (a candidate outside the top C could in
+        principle survive suppression into the top ``detections_per_image``, so
+        this is near-exact, not exact; keep C >= ~10x detections_per_image).
+        Eval (``detect``) never sets it: inference stays exact."""
         a = self.arch
         k = a.num_classes
         n, p, _ = proposals.boxes.shape
         scores_logits, pdeltas = self.roi_predict(params, feat, proposals.boxes)
         max_det = a.detections_per_image
+        use_prefilter = 0 < nms_candidates < p * k
 
         def per_image(logits_i, deltas_i, pboxes_i, pvalid_i, hw):
             probs = jax.nn.softmax(logits_i, axis=-1)[:, :-1]           # (P, K)
@@ -524,15 +538,23 @@ class PTDetector:
             flat_scores = scores.reshape(p * k)
             flat_valid = fmask.reshape(p * k)
             cls_ids = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (p, k)).reshape(-1)
+            if use_prefilter:
+                _, cidx = jax.lax.top_k(
+                    jnp.where(flat_valid, flat_scores, -jnp.inf), nms_candidates)
+                flat_boxes = jnp.take(flat_boxes, cidx, axis=0)
+                flat_scores = jnp.take(flat_scores, cidx)
+                flat_valid = jnp.take(flat_valid, cidx)
+                cls_ids = jnp.take(cls_ids, cidx)
             kidx, kvalid = batched_nms(
                 flat_boxes, flat_scores, cls_ids, flat_valid, a.nms_thresh, max_det
             )
-            row = kidx // k
+            orig = jnp.take(cidx, kidx) if use_prefilter else kidx       # index into P*K
+            row = orig // k
             out_boxes = jnp.take(flat_boxes, kidx, axis=0)
             out_scores = jnp.take(flat_scores, kidx)
             out_cls = jnp.take(cls_ids, kidx)
             out_logits = jnp.take(logits_i, row, axis=0)                 # (D, K+1)
-            out_sigma = jnp.take(sigma.reshape(p * k, 4), kidx, axis=0)  # (D, 4)
+            out_sigma = jnp.take(sigma.reshape(p * k, 4), orig, axis=0)  # (D, 4)
             return out_boxes, out_scores, out_cls, out_logits, out_sigma, kvalid
 
         b, sc, c, lg, sg, v = jax.vmap(per_image)(

@@ -228,3 +228,38 @@ def test_teacher_budget_override(setup):
                                     training=True, grid_hw=feat.shape[1:3],
                                     budget=(32, 16))
     assert p_teach.boxes.shape[1] == 16
+
+
+def test_teacher_nms_candidates_prefilter(setup):
+    """UNSUPNET.TEACHER_NMS_CANDIDATES: top-C prefilter before the teacher's
+    class-aware NMS. With C = P*K - 1 (drops only the single lowest-scored
+    candidate) the pseudo labels must match the exact path bit-for-bit on this
+    deterministic fixture; with a small C the pipeline stays valid/finite."""
+    det0, params, images, gt = setup
+    exact = jax.jit(det0.pseudo_labels)(params, images)
+
+    pk = TINY.rpn_post_nms_topk[1] * TINY.num_classes
+    arch = TINY.__class__(**{**TINY.__dict__, "teacher_nms_candidates": pk - 1})
+    near = jax.jit(PTDetector(arch).pseudo_labels)(params, images)
+    np.testing.assert_array_equal(np.asarray(exact.valid), np.asarray(near.valid))
+    v = np.asarray(exact.valid)
+    np.testing.assert_allclose(np.asarray(near.boxes)[v], np.asarray(exact.boxes)[v],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(near.sigma)[v], np.asarray(exact.sigma)[v],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(near.logits)[v], np.asarray(exact.logits)[v],
+                               atol=1e-5)
+
+    arch_small = TINY.__class__(**{**TINY.__dict__, "teacher_nms_candidates": 16})
+    small = jax.jit(PTDetector(arch_small).pseudo_labels)(params, images)
+    assert small.boxes.shape == exact.boxes.shape
+    sv = np.asarray(small.valid)
+    assert sv.any()
+    assert np.isfinite(np.asarray(small.boxes)[sv]).all()
+
+    # eval inference is NEVER prefiltered: detect ignores the knob entirely
+    d0 = jax.jit(det0.detect)(params, images)
+    d1 = jax.jit(PTDetector(arch_small).detect)(params, images)
+    np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes)[np.asarray(d0.valid)],
+                               np.asarray(d0.boxes)[np.asarray(d0.valid)], atol=1e-5)
