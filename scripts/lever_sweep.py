@@ -30,6 +30,10 @@ COMBOS = [
                             "--teacher-pre", "6000", "--teacher-post", "1000"]),
     ("hybrid_teacher500", ["--nms-impl", "hybrid",
                            "--teacher-pre", "3000", "--teacher-post", "500"]),
+    ("hybrid_teacher1000_cand2048", ["--nms-impl", "hybrid",
+                                     "--teacher-pre", "6000",
+                                     "--teacher-post", "1000",
+                                     "--teacher-cand", "2048"]),
 ]
 
 
