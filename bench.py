@@ -215,7 +215,7 @@ def run_worker(args):
         # measured identical img/s/chip and batch 4 ~20% lower (round-2 logs).
         batch = args.batch or 8
         canvas, depth, amp = (608, 1216), 16, True
-        budgets = (12000, 2000, 512, 512, 100)
+        budgets = (args.pre_topk or 12000, 2000, 512, 512, 100)
         iters, n_windows, max_windows = args.iters, args.windows, args.windows + 4
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
@@ -296,7 +296,8 @@ def run_orchestrated(args):
                   "--nms-impl", args.nms_impl,
                   "--teacher-pre", str(args.teacher_pre),
                   "--teacher-post", str(args.teacher_post),
-                  "--teacher-cand", str(args.teacher_cand)]
+                  "--teacher-cand", str(args.teacher_cand),
+                  "--pre-topk", str(args.pre_topk)]
     if args.batch:
         worker_cmd += ["--batch", str(args.batch)]
 
@@ -367,6 +368,8 @@ def main(argv=None):
                    help="UNSUPNET.TEACHER_POST_NMS_TOPK (-1 = train budget)")
     p.add_argument("--teacher-cand", type=int, default=-1,
                    help="UNSUPNET.TEACHER_NMS_CANDIDATES (-1 = all P*K)")
+    p.add_argument("--pre-topk", type=int, default=0,
+                   help="MODEL.RPN.PRE_NMS_TOPK_TRAIN (0 = recipe 12000)")
     p.add_argument("--max-attempts", type=int, default=3)
     p.add_argument("--attempt-timeout-s", type=float, default=2100.0,
                    help="first attempt (may include a cold 10-25 min compile)")

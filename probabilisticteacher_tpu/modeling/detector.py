@@ -288,18 +288,29 @@ class PTDetector:
             pb, ps, pv = jax.vmap(per_image_mp)(obj, deltas, image_hw)
             return Proposals(pb, ps, pv)
 
-        # hybrid NMS: per-anchor-channel 3x3 local-max PREFILTER, then EXACT
-        # greedy NMS on the survivors. At stride 16 with anchors >= 128 px, two
-        # same-shape boxes one grid cell apart overlap at IoU >= 0.78 > the 0.7
-        # threshold, so the spatial prefilter removes almost only boxes exact
-        # NMS would suppress anyway; unlike full MaxpoolNMS there is NO
-        # cross-anchor max (different shapes at one location legitimately
-        # coexist — collapsing them is what broke accuracy in proxy run H).
+        # hybrid NMS: per-anchor-channel 3x3 local-max PREFILTER on the SAFE
+        # anchor channels only, then EXACT greedy NMS on the top candidates.
+        # Safe = a one-cell DIAGONAL neighbour of the same shape still overlaps
+        # above the NMS threshold, i.e. exact NMS would suppress it anyway:
+        # (1+t)(w-s)(h-s) >= 2t*wh for offset s = stride, which for w == h
+        # means min(w, h) >= s / (1 - sqrt(2t/(1+t))) (~10.9x stride at t=0.7).
+        # Channels below that keep every candidate (proxy diagnosis,
+        # scripts/diagnose_levers.py: the unconditional 3x3 prefilter dropped
+        # 41% of pseudo-label detections and collapsed the mutual loop — small
+        # anchors one cell apart do NOT overlap at 0.7). Unlike full MaxpoolNMS
+        # there is also NO cross-anchor max (that broke proxy run H).
         use_hybrid = a.rpn_nms_impl == "hybrid" and grid_hw is not None
         if use_hybrid:
             from ..ops.maxpool_nms import maxpool_keep
 
             hybrid_pre = min(pre, max(2 * post, 64))
+            t = float(a.rpn_nms_thresh)
+            q = float(np.sqrt(2.0 * t / (1.0 + t)))
+            safe_min_wh = a.stride / max(1.0 - q, 1e-6)
+            anc_wh = (anchors.reshape(grid_hw[0], grid_hw[1], self.A, 4)[0, 0]
+                      if anchors.ndim == 2 else anchors)
+            ch_safe = jnp.minimum(anc_wh[:, 2] - anc_wh[:, 0],
+                                  anc_wh[:, 3] - anc_wh[:, 1]) >= safe_min_wh
 
             def per_image_hy(obj_i, deltas_i, hw):
                 rescale = 1.0 - jnp.mean(jax.nn.sigmoid(deltas_i[:, 4:]), axis=-1)
@@ -307,7 +318,8 @@ class PTDetector:
                 keep_g = maxpool_keep(
                     s_full.reshape(grid_hw[0], grid_hw[1], self.A),
                     cross_anchor=False,
-                ).reshape(-1)
+                )
+                keep_g = (keep_g | ~ch_safe[None, None, :]).reshape(-1)
                 scores, idx = jax.lax.top_k(jnp.where(keep_g, s_full, -jnp.inf),
                                             hybrid_pre)
                 d = jnp.take(deltas_i, idx, axis=0)

@@ -34,6 +34,15 @@ COMBOS = [
                                      "--teacher-pre", "6000",
                                      "--teacher-post", "1000",
                                      "--teacher-cand", "2048"]),
+    # round-3b: safe levers after the proxy collapse diagnosis — pre-NMS budget
+    # cut (pure score ranking, no geometry approximation) replacing hybrid
+    ("combo_safe", ["--pre-topk", "4000",
+                    "--teacher-pre", "4000", "--teacher-post", "1000",
+                    "--teacher-cand", "2048"]),
+    # hybrid after the safe-channel fix (prefilter only on large anchors)
+    ("combo_hybrid_safe", ["--nms-impl", "hybrid", "--pre-topk", "4000",
+                           "--teacher-pre", "4000", "--teacher-post", "1000",
+                           "--teacher-cand", "2048"]),
 ]
 
 
