@@ -226,15 +226,31 @@ def run_worker(args):
         log(f"[bench] tunnel probe: scalar RTT {rtt_ms} ms, 128x128 matmul {matmul_ms} ms")
 
     t0 = time.perf_counter()
-    mutual, state, (limg, lgt, uimg) = build(batch, canvas, depth, amp, budgets,
-                                             args.nms_impl, args.teacher_pre,
-                                             args.teacher_post, args.teacher_cand)
-    key = jax.random.key(0)
-    # compile + warmup (float() forces a real host sync — block_until_ready does
-    # NOT block on tunneled backends, so every timed iteration must fetch a scalar;
-    # the fetch of step i-1 is pipelined behind step i to hide the RPC latency)
-    state, m = mutual(state, limg, lgt, uimg, key)
-    float(m["total_loss"])
+    while True:
+        try:
+            mutual, state, (limg, lgt, uimg) = build(
+                batch, canvas, depth, amp, budgets, args.nms_impl,
+                args.teacher_pre, args.teacher_post, args.teacher_cand)
+            key = jax.random.key(0)
+            # compile + warmup (float() forces a real host sync —
+            # block_until_ready does NOT block on tunneled backends, so every
+            # timed iteration must fetch a scalar; the fetch of step i-1 is
+            # pipelined behind step i to hide the RPC latency)
+            state, m = mutual(state, limg, lgt, uimg, key)
+            float(m["total_loss"])
+            break
+        except Exception as e:  # noqa: BLE001 — inspect for device OOM
+            msg = str(e)
+            oom = any(s in msg for s in
+                      ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                       "Allocation", "exceeds the amount of memory available"))
+            if oom and batch > 2:
+                log(f"[bench] batch {batch} hit device OOM; retrying at "
+                    f"batch {batch // 2}")
+                batch //= 2
+                mutual = state = m = None  # release the failed graph's buffers
+                continue
+            raise
     compile_s = time.perf_counter() - t0
     log(f"[bench] compiled + warmed in {compile_s:.1f} s; "
         f"{n_windows} windows x {iters} iters, batch {batch}")
@@ -279,9 +295,31 @@ def run_worker(args):
         "spread": round(spread(windows), 3) if len(windows) > 1 else 0.0,
         "rtt_ms": rtt_ms,
         "compile_s": round(compile_s, 1),
+        "batch": batch,
     }
     print(json.dumps(out), flush=True)
     return out
+
+
+def spawn_worker(extra_args, timeout_s):
+    """Run one ``bench.py --worker`` attempt in a subprocess (stderr passes
+    through for live progress); return the JSON record parsed from its last
+    stdout line, or None on crash, timeout, or unparseable output. Shared by
+    the orchestrator below and scripts/lever_sweep.py so the worker's output
+    contract lives in exactly one place."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + list(extra_args)
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not lines:
+        return None
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return None
 
 
 def run_orchestrated(args):
@@ -291,15 +329,14 @@ def run_orchestrated(args):
     budget = args.wall_budget_s
     attempts = []
     best = None
-    worker_cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-                  "--iters", str(args.iters), "--windows", str(args.windows),
-                  "--nms-impl", args.nms_impl,
-                  "--teacher-pre", str(args.teacher_pre),
-                  "--teacher-post", str(args.teacher_post),
-                  "--teacher-cand", str(args.teacher_cand),
-                  "--pre-topk", str(args.pre_topk)]
+    worker_args = ["--iters", str(args.iters), "--windows", str(args.windows),
+                   "--nms-impl", args.nms_impl,
+                   "--teacher-pre", str(args.teacher_pre),
+                   "--teacher-post", str(args.teacher_post),
+                   "--teacher-cand", str(args.teacher_cand),
+                   "--pre-topk", str(args.pre_topk)]
     if args.batch:
-        worker_cmd += ["--batch", str(args.batch)]
+        worker_args += ["--batch", str(args.batch)]
 
     for attempt in range(1, args.max_attempts + 1):
         remaining = budget - (time.monotonic() - t_start)
@@ -311,22 +348,9 @@ def run_orchestrated(args):
         timeout = min(remaining, args.attempt_timeout_s if attempt == 1
                       else args.retry_timeout_s)
         log(f"[bench] attempt {attempt} (timeout {timeout:.0f} s)")
-        try:
-            proc = subprocess.run(worker_cmd, stdout=subprocess.PIPE,
-                                  stderr=sys.stderr, timeout=timeout)
-        except subprocess.TimeoutExpired:
-            log(f"[bench] attempt {attempt} timed out")
-            attempts.append(None)
-            continue
-        lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
-        rec = None
-        if proc.returncode == 0 and lines:
-            try:
-                rec = json.loads(lines[-1])
-            except json.JSONDecodeError:
-                pass
+        rec = spawn_worker(worker_args, timeout)
         if rec is None:
-            log(f"[bench] attempt {attempt} failed (rc={proc.returncode})")
+            log(f"[bench] attempt {attempt} failed (crash/timeout)")
             attempts.append(None)
             continue
         attempts.append(rec["value"])

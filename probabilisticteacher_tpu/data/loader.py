@@ -10,7 +10,9 @@ shaped for TPU feeding:
   TPU-first redesign of the two-crop mapper (``dataset_mapper.py:156-172``).
 - aspect-ratio bucketing into two static canvases (w>h vs h>w), mirroring
   ``AspectRatioGroupedSemiSupDatasetTwoCrop`` (``common.py:106-180``); a batch is
-  emitted when one bucket holds a full labeled AND unlabeled set.
+  emitted when the labeled stream has a full bucket AND the unlabeled stream
+  has one — chosen independently, so the two halves may use different canvases
+  (the reference's bucket keys are per-stream too, ``common.py:148-163``).
 - GT padded to MAX_GT with a validity mask (structures.GroundTruth).
 - background prefetch thread (host has few cores; decode overlaps device step).
 """
@@ -32,17 +34,17 @@ except ImportError:  # pragma: no cover
 # --------------------------------------------------------------------------- #
 # single-image transforms
 # --------------------------------------------------------------------------- #
-def read_image_bgr(path: str) -> np.ndarray:
-    """uint8 (H, W, 3) in BGR order (cfg.INPUT.FORMAT="BGR", Caffe convention)."""
-    img = Image.open(path).convert("RGB")
-    return np.asarray(img, dtype=np.uint8)[:, :, ::-1]
-
-
 def read_image(path: str, fmt: str = "BGR") -> np.ndarray:
     """uint8 (H, W, 3) honoring cfg.INPUT.FORMAT ("BGR" default, or "RGB") —
     detectron2 ``read_image(..., format)`` parity (``dataset_mapper.py:97``)."""
     img = np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
     return img[:, :, ::-1] if fmt == "BGR" else img
+
+
+# the Caffe-convention default, kept as a thin alias (one decoder, one place
+# for any future EXIF/rotation handling)
+def read_image_bgr(path: str) -> np.ndarray:
+    return read_image(path, "BGR")
 
 
 def resize_shortest_edge(img: np.ndarray, boxes: np.ndarray, short: int,
@@ -315,28 +317,45 @@ class SemiSupLoader:
             return list(self._pool.map(self._map_one, jobs))
         return [self._map_one(j) for j in jobs]
 
+    @staticmethod
+    def _ready(buckets: Dict[int, list], bs: int) -> Optional[int]:
+        """Fullest bucket holding a complete batch (None if neither does).
+        Draining the fuller bucket first keeps both aspect groups flowing
+        instead of starving whichever fills slower."""
+        full = [b for b in (0, 1) if len(buckets[b]) >= bs]
+        return max(full, key=lambda b: len(buckets[b])) if full else None
+
     def _produce_one(self) -> Dict[str, Dict[str, np.ndarray]]:
         label_buckets = self._label_buckets
         unlabel_buckets = self._unlabel_buckets
         while True:
-            if any(len(label_buckets[b]) >= self.bs_label
-                   and len(unlabel_buckets[b]) >= self.bs_unlabel for b in (0, 1)):
-                b = 0 if (len(label_buckets[0]) >= self.bs_label
-                          and len(unlabel_buckets[0]) >= self.bs_unlabel) else 1
+            # label and unlabel pick their ready buckets INDEPENDENTLY (a batch
+            # may pair wide labeled with tall unlabeled), matching the
+            # reference's decoupled bucket keys (pt/data/common.py:148-163).
+            # Coupling them is a host-memory leak: with mismatched aspect
+            # distributions the same-bucket condition can never fire and one
+            # stream's bucket grows without bound.
+            bl = self._ready(label_buckets, self.bs_label)
+            bu = self._ready(unlabel_buckets, self.bs_unlabel)
+            if bl is not None and bu is not None:
                 # consume from the front; the rest stays for the next batch
-                lb = label_buckets[b][: self.bs_label]
-                ub = unlabel_buckets[b][: self.bs_unlabel]
-                label_buckets[b] = label_buckets[b][self.bs_label:]
-                unlabel_buckets[b] = unlabel_buckets[b][self.bs_unlabel:]
+                lb = label_buckets[bl][: self.bs_label]
+                ub = unlabel_buckets[bu][: self.bs_unlabel]
+                label_buckets[bl] = label_buckets[bl][self.bs_label:]
+                unlabel_buckets[bu] = unlabel_buckets[bu][self.bs_unlabel:]
                 return {"label": _stack(lb), "unlabel": _stack(ub)}
+            # draw only for the stream that lacks a full bucket: each bucket is
+            # bounded by bs + chunk records, so host RSS cannot creep over a
+            # 30k-iter run no matter how the two streams' aspects are skewed
             chunk = self.num_workers
-            if min(len(label_buckets[0]), len(label_buckets[1])) < self.bs_label * 4:
+            if bl is None:
                 for rec in self._draw("l", chunk):
                     if rec is not None:
                         label_buckets[rec["bucket"]].append(rec)
-            for rec in self._draw("u", chunk):
-                if rec is not None:
-                    unlabel_buckets[rec["bucket"]].append(rec)
+            if bu is None:
+                for rec in self._draw("u", chunk):
+                    if rec is not None:
+                        unlabel_buckets[rec["bucket"]].append(rec)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

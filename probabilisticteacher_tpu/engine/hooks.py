@@ -67,26 +67,30 @@ class PeriodicWriter(HookBase):
     The metrics of step i are fetched while step i+1 runs (one stacked
     device->host transfer — per-scalar fetches cost a full RPC roundtrip each
     on tunneled backends): a snapshot of ``pending_metrics`` is taken in
-    ``before_step``, so the fetch in ``after_step`` never blocks on the step
-    dispatched this iteration (only at the final iteration, where the current
-    step's metrics are fetched synchronously so the last write isn't stale).
+    ``before_step`` TOGETHER with the iteration it belongs to, so the fetch in
+    ``after_step`` never blocks on the step dispatched this iteration, and the
+    values are recorded under their own iteration rather than the current one
+    (only at the final iteration is the current step fetched synchronously so
+    the last write isn't stale).
     """
 
     def __init__(self, period: int = 20):
         self.period = period
-        self._prev = None  # metrics of the PREVIOUS step (complete by now)
+        # (iteration, metrics) of the PREVIOUS step — complete by now
+        self._prev = (-1, None)
 
     def before_step(self):
-        self._prev = self.trainer.pending_metrics
+        t = self.trainer
+        self._prev = (t.iter - 1, t.pending_metrics)
 
     def after_step(self):
         t = self.trainer
         it = t.iter
         final = it == t.max_iter - 1
-        metrics = t.pending_metrics if final else self._prev
+        mit, metrics = (it, t.pending_metrics) if final else self._prev
         if metrics is None:
             return
-        if it % self.period == 0 or final:
+        if mit % self.period == 0 or final:
             import jax.numpy as jnp
             import numpy as np
 
@@ -97,9 +101,14 @@ class PeriodicWriter(HookBase):
 
             # max across ranks, like the reference (trainer.py:407-411)
             host["data_time"] = host_max(t.last_data_time)
-            t.storage.put_scalars(**host)
-            for w in t.writers:
-                w.write(t.storage)
+            saved = t.storage.iter
+            t.storage.iter = mit  # attribute to the step the values came from
+            try:
+                t.storage.put_scalars(**host)
+                for w in t.writers:
+                    w.write(t.storage)
+            finally:
+                t.storage.iter = saved
 
     def after_train(self):
         for w in self.trainer.writers:

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Capture an xplane trace of the mutual step and print per-HLO-category totals.
 
-Usage: python scripts/profile_step.py [--batch 4] [--iters 5] [--maxpool-nms]
+Usage: python scripts/profile_step.py [--batch 4] [--iters 5]
+           [--nms-impl {exact,maxpool,hybrid}] [--teacher-pre N]
+           [--teacher-post N] [--teacher-cand N]
 Prints: device-time totals grouped by HLO category, plus the top-N single ops.
 This is the ground-truth view for the throughput work (VERDICT.md Next #1).
 """
