@@ -8,6 +8,10 @@ and greedy IoU agreement with the exact set. Run after a proxy collapse to
 attribute it (hybrid RPN NMS vs teacher budgets vs candidate prefilter)
 without spending chip time on full 3000-iter ablations.
 
+Blind spot: this sees only the TEACHER weak pass. Levers that touch the
+student's training path (PRE_NMS_TOPK_TRAIN, hybrid NMS during training) need
+`diagnose_student_path.py` as well — run J degraded with 100% recall here.
+
 Usage: python scripts/diagnose_levers.py [--n 8] [--short 480]
 """
 
@@ -15,13 +19,11 @@ import argparse
 import os
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _proxy_common import REPO, load_proxy_setup
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,46 +37,13 @@ def main():
                    default=os.path.join(REPO, ".proxy_runs/source_only/model_0003000"))
     args = p.parse_args()
 
-    from probabilisticteacher_tpu.checkpoint import load_weights
-    from probabilisticteacher_tpu.config import get_cfg
-    from probabilisticteacher_tpu.data.datasets import CLASS_NAMES_8, load_voc_instances
-    from probabilisticteacher_tpu.data.loader import Mapper
-    from probabilisticteacher_tpu.engine.steps import TrainState
-    from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+    from probabilisticteacher_tpu.modeling.detector import PTDetector
     from probabilisticteacher_tpu.ops import boxes as box_ops
-    from probabilisticteacher_tpu.structures import ImageBatch
 
-    cfg = get_cfg()
-    cfg.merge_from_file(os.path.join(REPO, "configs/pt/final_c2f.yaml"))
-    cfg.merge_from_list([
-        "UNSUPNET.TAU", "[0.5,0.5]",
-        "MODEL.ANCHOR_GENERATOR.NAME", "DifferentiableAnchorGenerator",
-        "MODEL.VGG.PRETRAIN", "",
-        "INPUT.MIN_SIZE_TRAIN", f"({args.short},)",
-        "INPUT.CANVAS.WIDE", f"({args.short}, {args.short * 992 // 480})",
-        "INPUT.CANVAS.TALL", f"({args.short * 992 // 480}, {args.short})",
-        "SOLVER.AMP.ENABLED", "False",
-    ])
-    canvas = (args.short, args.short * 992 // 480)
+    cfg, base_arch, teacher_params, batch, _ = load_proxy_setup(
+        args.n, args.short, args.data, args.weights)
+    taus = tuple(cfg.UNSUPNET.TAU)
 
-    records = load_voc_instances(
-        os.path.join(args.data, "data/VOC2007_foggytrain"), "train", CLASS_NAMES_8)
-    mapper = Mapper(cfg, is_train=True)
-    rng = np.random.default_rng(0)
-    imgs = []
-    for rec in records:
-        out = mapper(rec, rng)
-        if out["image"].shape[:2] == canvas:
-            imgs.append(out)
-        if len(imgs) == args.n:
-            break
-    assert len(imgs) == args.n, f"only {len(imgs)} wide-canvas records"
-    batch = ImageBatch(
-        image=jnp.asarray(np.stack([o["image"] for o in imgs]).astype(np.float32)),
-        image_hw=jnp.asarray(np.stack([o["image_hw"] for o in imgs])),
-    )
-
-    base_arch = Arch.from_cfg(cfg)
     pre_test = base_arch.rpn_pre_nms_topk[0]
     variants = {
         "exact": {},
@@ -90,19 +59,11 @@ def main():
                          "teacher_pre_nms_topk": 4000,
                          "teacher_post_nms_topk": 1000,
                          "teacher_nms_candidates": 2048},
+        # run-K production candidate: teacher-side only, student bit-exact
+        "teacher1000_cand2048": {"teacher_pre_nms_topk": 6000,
+                                 "teacher_post_nms_topk": 1000,
+                                 "teacher_nms_candidates": 2048},
     }
-
-    det0 = PTDetector(base_arch)
-    params = det0.init(jax.random.key(0), canvas)
-    state = TrainState(student=params, teacher=params,
-                       opt_state={}, step=jnp.asarray(0, jnp.int32))
-    state = load_weights(args.weights, state)
-    # a source-only checkpoint's TEACHER slot is still at init (burn-in never
-    # updates it; the boundary copy happens at mutual start) — the converged
-    # model is the STUDENT, which is what the mutual phase copies into the
-    # teacher at BURN_UP_STEP. Diagnose with that.
-    teacher_params = state.student
-    taus = tuple(cfg.UNSUPNET.TAU)
 
     def stats(pl):
         probs = jax.nn.softmax(pl.logits, axis=-1)[..., :-1]

@@ -26,13 +26,11 @@ import argparse
 import os
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _proxy_common import REPO, load_proxy_setup
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,50 +44,16 @@ def main():
                    default=os.path.join(REPO, ".proxy_runs/source_only/model_0003000"))
     args = p.parse_args()
 
-    from probabilisticteacher_tpu.checkpoint import load_weights
-    from probabilisticteacher_tpu.config import get_cfg
-    from probabilisticteacher_tpu.data.datasets import CLASS_NAMES_8, load_voc_instances
-    from probabilisticteacher_tpu.data.loader import Mapper
-    from probabilisticteacher_tpu.engine.steps import TrainState
-    from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+    from probabilisticteacher_tpu.modeling.detector import PTDetector
     from probabilisticteacher_tpu.ops import boxes as box_ops
-    from probabilisticteacher_tpu.structures import ImageBatch
-
-    cfg = get_cfg()
-    cfg.merge_from_file(os.path.join(REPO, "configs/pt/final_c2f.yaml"))
-    cfg.merge_from_list([
-        "UNSUPNET.TAU", "[0.5,0.5]",
-        "MODEL.ANCHOR_GENERATOR.NAME", "DifferentiableAnchorGenerator",
-        "MODEL.VGG.PRETRAIN", "",
-        "INPUT.MIN_SIZE_TRAIN", f"({args.short},)",
-        "INPUT.CANVAS.WIDE", f"({args.short}, {args.short * 992 // 480})",
-        "INPUT.CANVAS.TALL", f"({args.short * 992 // 480}, {args.short})",
-        "SOLVER.AMP.ENABLED", "False",
-    ])
-    canvas = (args.short, args.short * 992 // 480)
 
     # labeled foggy-train records: the student's unsup view domain (the sup
     # path sees cityscapes-clean; foggy is the harder of the two for the RPN)
-    records = load_voc_instances(
-        os.path.join(args.data, "data/VOC2007_foggytrain"), "train", CLASS_NAMES_8)
-    mapper = Mapper(cfg, is_train=True)
-    rng = np.random.default_rng(0)
-    imgs = []
-    for rec in records:
-        out = mapper(rec, rng)
-        if out["image"].shape[:2] == canvas and int(out["gt_valid"].sum()) > 0:
-            imgs.append(out)
-        if len(imgs) == args.n:
-            break
-    assert len(imgs) == args.n, f"only {len(imgs)} wide-canvas records with gt"
-    batch = ImageBatch(
-        image=jnp.asarray(np.stack([o["image"] for o in imgs]).astype(np.float32)),
-        image_hw=jnp.asarray(np.stack([o["image_hw"] for o in imgs])),
-    )
+    _, base_arch, student, batch, imgs = load_proxy_setup(
+        args.n, args.short, args.data, args.weights, require_gt=True)
     gts = [np.asarray(o["gt_boxes"])[np.asarray(o["gt_valid"]).astype(bool)]
            for o in imgs]
 
-    base_arch = Arch.from_cfg(cfg)
     pre_test = base_arch.rpn_pre_nms_topk[0]
     variants = {
         "exact (pre 6000)": {},
@@ -99,13 +63,6 @@ def main():
                            "rpn_pre_nms_topk": (pre_test, 4000)},
         "pre2000": {"rpn_pre_nms_topk": (pre_test, 2000)},
     }
-
-    det0 = PTDetector(base_arch)
-    params = det0.init(jax.random.key(0), canvas)
-    state = TrainState(student=params, teacher=params,
-                       opt_state={}, step=jnp.asarray(0, jnp.int32))
-    state = load_weights(args.weights, state)
-    student = state.student  # converged source-only model (see diagnose_levers)
 
     def proposals_for(arch):
         det = PTDetector(arch)

@@ -15,11 +15,13 @@ proposals dominate ROIAlign volume: 16000 of 28288 pooled boxes/iter).
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench
 
 COMBOS = [
     # (name, extra worker args)
@@ -34,6 +36,11 @@ COMBOS = [
                                      "--teacher-pre", "6000",
                                      "--teacher-post", "1000",
                                      "--teacher-cand", "2048"]),
+    # round-3c: the run-K production candidate — teacher-side levers ONLY
+    # (student training path bit-exact; see diagnose_student_path.py for why
+    # pre-topk/hybrid are excluded)
+    ("teacher1000_cand2048", ["--teacher-pre", "6000", "--teacher-post", "1000",
+                              "--teacher-cand", "2048"]),
     # round-3b: safe levers after the proxy collapse diagnosis — pre-NMS budget
     # cut (pure score ranking, no geometry approximation) replacing hybrid
     ("combo_safe", ["--pre-topk", "4000",
@@ -58,18 +65,13 @@ def main():
         if name in results and results[name].get("value", 0) > 0:
             print(f"[sweep] {name}: cached {results[name]['value']}", flush=True)
             continue
-        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
-               "--iters", "8", "--windows", "3"] + extra
-        print(f"[sweep] {name}: {' '.join(cmd)}", flush=True)
+        worker_args = ["--iters", "8", "--windows", "3"] + extra
+        print(f"[sweep] {name}: bench.py --worker {' '.join(worker_args)}",
+              flush=True)
         t0 = time.time()
-        try:
-            proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
-                                  timeout=2400)
-            lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
-            rec = json.loads(lines[-1]) if proc.returncode == 0 and lines else \
-                {"value": 0.0, "error": f"rc={proc.returncode}"}
-        except subprocess.TimeoutExpired:
-            rec = {"value": 0.0, "error": "timeout"}
+        rec = bench.spawn_worker(worker_args, timeout_s=2400)
+        if rec is None:
+            rec = {"value": 0.0, "error": "crash/timeout"}
         rec["wall_s"] = round(time.time() - t0, 1)
         results[name] = rec
         json.dump(results, open(out_path, "w"), indent=1)
