@@ -44,7 +44,7 @@ def test_two_process_distributed_step():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
@@ -86,7 +86,7 @@ def test_two_process_ptrainer_train(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=1800)
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}\n{err[-6000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     outs.sort(key=lambda o: o["pid"])
