@@ -456,3 +456,46 @@ def test_bench_orchestrator_all_fail(monkeypatch, capsys):
     assert rec["attempts_values"] == [None, None]
     last = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(last)["value"] == 0.0
+
+
+def test_bench_worker_oom_halves_batch(monkeypatch):
+    """A device OOM during compile/warmup falls back to half batch instead of
+    burning every orchestrator attempt on an identical failing command (the
+    pre-orchestrator bench had this fallback; it must survive the split)."""
+    import bench
+
+    calls = []
+
+    def fake_build(batch, canvas, depth, amp, budgets, *a, **kw):
+        calls.append(batch)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+                "18.72G. That was 2.97G more than the limit."
+            )
+
+        def mutual(state, limg, lgt, uimg, key):
+            return state, {"total_loss": 0.5}
+
+        return mutual, {}, (None, None, None)
+
+    monkeypatch.setattr(bench, "build", fake_build)
+    rec = bench.main(["--smoke", "--batch", "8"])
+    assert calls == [8, 4], "OOM at batch 8 must rebuild at batch 4"
+    assert rec["batch"] == 4
+    assert rec["value"] > 0
+
+
+def test_bench_worker_non_oom_error_propagates(monkeypatch):
+    """Only OOM triggers the half-batch fallback; other compile errors must
+    surface (the orchestrator records the crash and retries/report them)."""
+    import bench
+
+    def fake_build(*a, **kw):
+        raise RuntimeError("INTERNAL: Mosaic failed to compile")
+
+    monkeypatch.setattr(bench, "build", fake_build)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="Mosaic"):
+        bench.main(["--smoke", "--batch", "8"])
