@@ -557,8 +557,13 @@ class PTDetector:
                 flat_scores = jnp.take(flat_scores, cidx)
                 flat_valid = jnp.take(flat_valid, cidx)
                 cls_ids = jnp.take(cls_ids, cidx)
+            # block 256 (not the 1024 RPN default): with the keep budget at
+            # DETECTIONS_PER_IMAGE (100), smaller blocks hit the early exit
+            # with ~16x less intra-block IoU work; block size never changes
+            # results (invariance unit-tested) — measured 93.5 vs 93.4 img/s
             kidx, kvalid = batched_nms(
-                flat_boxes, flat_scores, cls_ids, flat_valid, a.nms_thresh, max_det
+                flat_boxes, flat_scores, cls_ids, flat_valid, a.nms_thresh,
+                max_det, block_size=256,
             )
             orig = jnp.take(cidx, kidx) if use_prefilter else kidx       # index into P*K
             row = orig // k

@@ -499,3 +499,31 @@ def test_bench_worker_non_oom_error_propagates(monkeypatch):
 
     with pytest.raises(RuntimeError, match="Mosaic"):
         bench.main(["--smoke", "--batch", "8"])
+
+
+def test_batched_nms_block_size_invariance():
+    """Block size is a pure scheduling knob: kept indices/validity must be
+    identical across block sizes (the ROI class-NMS runs block 256 against the
+    RPN's 1024 default purely for early-exit economy at max_det 100)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probabilisticteacher_tpu.ops.nms import batched_nms
+
+    rng = np.random.default_rng(0)
+    K = 4096
+    xy = rng.uniform(0, 400, (K, 2))
+    wh = rng.uniform(4, 90, (K, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, K), jnp.float32)
+    cls = jnp.asarray(rng.integers(0, 8, K), jnp.int32)
+    valid = jnp.asarray(rng.uniform(0, 1, K) < 0.4)
+    ref_idx, ref_v = batched_nms(boxes, scores, cls, valid, 0.5, 100,
+                                 block_size=1024)
+    ref_idx, ref_v = np.asarray(ref_idx), np.asarray(ref_v)
+    for bs in (128, 256, 512):
+        kidx, kv = batched_nms(boxes, scores, cls, valid, 0.5, 100,
+                               block_size=bs)
+        kidx, kv = np.asarray(kidx), np.asarray(kv)
+        assert (kv == ref_v).all()
+        assert (kidx[ref_v] == ref_idx[ref_v]).all()
