@@ -37,8 +37,13 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(detector: PTDetector, tx: optax.GradientTransformation,
-                       rng: jax.Array, canvas_hw=(64, 64)) -> TrainState:
-    params = detector.init(rng, canvas_hw)
+                       rng: jax.Array = None, canvas_hw=(64, 64),
+                       params: Any = None) -> TrainState:
+    """Fresh TrainState at step 0; pass ``params`` (e.g. pretrained-initialized)
+    to skip the detector init — the single construction path for trainer,
+    bench, and tests."""
+    if params is None:
+        params = detector.init(rng, canvas_hw)
     teacher = jax.tree.map(jnp.copy, params)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

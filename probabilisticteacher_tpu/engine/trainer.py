@@ -107,17 +107,8 @@ class PTrainer:
             logger.warning(f"Pretrained backbone {pretrain} not found; training from scratch")
 
         self.tx = build_optimizer(cfg, params)
-        teacher = jax.tree.map(np.copy, params)
-        import jax.numpy as jnp
-        import optax  # noqa: F401
-
-        self.state = TrainState(
-            step=jnp.asarray(0, jnp.int32),
-            student=params,
-            teacher=teacher,
-            opt_state=self.tx.init(params),
-        )
-        self.state = replicate(self.mesh, self.state)
+        self.state = replicate(self.mesh, create_train_state(
+            self.detector, self.tx, params=params))
         self.burnin_step, self.mutual_step = make_train_steps(cfg, self.detector, self.tx)
 
         self.start_iter = 0

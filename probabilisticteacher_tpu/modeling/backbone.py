@@ -37,10 +37,11 @@ def _max_pool_2x2_impl(x: jnp.ndarray) -> jnp.ndarray:
     reshape+max formulation pays large relayout copies on both passes (a
     strided-slice variant even crashes the TPU runtime at production shapes).
     Here the forward is a plain reduce_window and the backward routes the
-    cotangent to window maxima by comparison. Ties distribute the gradient to
-    every maximum (torch picks one); post-ReLU the only mass-ties are at 0 where
-    the upstream ReLU backward zeroes the gradient anyway, so training is
-    unaffected. Odd trailing rows/cols are dropped (torch floor semantics).
+    cotangent to window maxima by comparison, divided by the tie count so each
+    window routes exactly its cotangent mass (torch picks ONE tied maximum;
+    under bf16, flat activation regions tie at positive values, so without the
+    division tied windows would receive 2-4x the reference's gradient mass).
+    Odd trailing rows/cols are dropped (torch floor semantics).
     """
     n, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2]
@@ -65,7 +66,13 @@ def _pool_bwd(res, g):
     xe = x[:, :he, :we]
     up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
     mask = (xe == up(out)).astype(g.dtype)
-    gx = up(g) * mask
+    # tie count per window (>= 1: the max is always attained); divide at the
+    # pooled resolution — one cheap sum reduce_window, no extra full-res pass
+    cnt = jax.lax.reduce_window(
+        mask, jnp.asarray(0, mask.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+    gx = up(g / cnt) * mask
     if he != h or we != w:
         gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
     return (gx,)

@@ -472,6 +472,12 @@ class PTDetector:
                                             images.image_hw)
         proposals = self.predict_proposals(anchors, obj, deltas, images.image_hw,
                                            training=True, grid_hw=feat.shape[1:3])
+        # divergence canary: the reference RAISES on non-finite proposals
+        # (proposal_utils.py:118-122); a static-shape graph masks them instead
+        # (PARITY deviation), so surface the collapse as a metric — a healthy
+        # run sits at ~post_nms_topk, a diverged one drops toward 0
+        losses["rpn/num_valid_proposals"] = (
+            jnp.sum(proposals.valid.astype(jnp.float32)) / proposals.valid.shape[0])
         losses.update(self.roi_supervised_losses(params, feat, proposals, gt, ko))
         return losses
 
@@ -581,7 +587,7 @@ class PTDetector:
 
     # --------------------------------------------------- unsupervised branch
     def _rpn_unsup_losses(self, anchors, anchors_sg, obj, deltas,
-                          pseudo: PseudoLabels) -> Dict[str, jnp.ndarray]:
+                          pseudo: PseudoLabels, image_hw=None) -> Dict[str, jnp.ndarray]:
         """Soft RPN losses vs teacher pseudo-labels (``rpn.py:115-135,257-361``).
 
         ``anchors`` carries gradient (anchor adaptation); matching uses the
@@ -589,10 +595,18 @@ class PTDetector:
         a = self.arch
         k = a.num_classes
         n = obj.shape[0]
+        if image_hw is None:
+            image_hw = jnp.zeros((n, 2), jnp.float32)  # unused unless boundary filter on
 
-        def rpn_label_one(pboxes, plogits, psigma, pvalid):
+        def rpn_label_one(pboxes, plogits, psigma, pvalid, hw):
             iou = masked_iou(box_ops.pairwise_iou(pboxes, anchors_sg), pvalid)
             midx, labels = match(iou, a.rpn_iou_thresholds, (0, -1, 1), True)
+            if a.rpn_boundary_thresh >= 0:
+                # the reference applies the legacy boundary-ignore BEFORE
+                # anchor_mask = labels == 1 in BOTH branches (rpn.py:421-425
+                # precedes the use_soft_label mask at rpn.py:427)
+                inside = box_ops.inside_box(anchors_sg, hw, a.rpn_boundary_thresh)
+                labels = jnp.where(inside, labels, -1)
             amask = labels == 1
             return (
                 amask,
@@ -602,7 +616,7 @@ class PTDetector:
             )
 
         amask, t_logits, t_sigma, t_boxes = jax.vmap(rpn_label_one)(
-            pseudo.boxes, pseudo.logits, pseudo.sigma, pseudo.valid
+            pseudo.boxes, pseudo.logits, pseudo.sigma, pseudo.valid, image_hw
         )
         fg = jnp.argmax(t_logits, axis=-1) != k
         normalizer = a.rpn_batch_per_image * n
@@ -615,9 +629,13 @@ class PTDetector:
             deltas[..., :4], deltas[..., 4:], mean_p, t_sigma,
             amask & fg, a.tau[1], a.efl, a.efl_lambda[1], a.model_type, "sum",
         ) / normalizer
+        # NOTE: the reference multiplies by RPN loss_weight only in the
+        # SUPERVISED branch (rpn.py:141 is inside the `elif self.training`
+        # arm; the `branch == 'unsupervised'` arm at rpn.py:115-135 returns
+        # unweighted) — so no rpn_loss_weight here
         return {
-            "loss_rpn_cls": a.rpn_loss_weight * loss_rpn_cls,
-            "loss_rpn_loc": a.rpn_loss_weight * loss_rpn_loc,
+            "loss_rpn_cls": loss_rpn_cls,
+            "loss_rpn_loc": loss_rpn_loc,
         }
 
     def _keep_rois_unsup(self, proposals: Proposals, pseudo: PseudoLabels):
@@ -692,7 +710,8 @@ class PTDetector:
         obj, deltas = self.rpn_predict(params, feat)
         anchors = self.anchors(params, feat.shape[1], feat.shape[2])  # grads flow (danchor)
         anchors_sg = jax.lax.stop_gradient(anchors)
-        losses = self._rpn_unsup_losses(anchors, anchors_sg, obj, deltas, pseudo)
+        losses = self._rpn_unsup_losses(anchors, anchors_sg, obj, deltas, pseudo,
+                                        images.image_hw)
         proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
                                            training=True, grid_hw=feat.shape[1:3])
         k_boxes, k_pboxes, k_logits, k_sigma, k_valid = self._keep_rois_unsup(proposals, pseudo)
@@ -737,13 +756,20 @@ class PTDetector:
 
         sup = self.rpn_supervised_losses(anchors_sg, obj[:nl], deltas[:nl], gt_l, kr,
                                          images.image_hw[:nl])
-        unsup = self._rpn_unsup_losses(anchors, anchors_sg, obj[nl:], deltas[nl:], pseudo)
+        unsup = self._rpn_unsup_losses(anchors, anchors_sg, obj[nl:], deltas[nl:],
+                                       pseudo, images.image_hw[nl:])
 
         # one NMS pass over all images (both branches use train-time topk)
         proposals = self.predict_proposals(anchors_sg, obj, deltas, images.image_hw,
                                            training=True, grid_hw=feat.shape[1:3])
         prop_l = Proposals(proposals.boxes[:nl], proposals.logits[:nl], proposals.valid[:nl])
         prop_u = Proposals(proposals.boxes[nl:], proposals.logits[nl:], proposals.valid[nl:])
+        # divergence canary (see supervised_losses): non-finite proposals are
+        # masked, not raised — make the collapse observable per branch
+        sup["rpn/num_valid_proposals"] = (
+            jnp.sum(prop_l.valid.astype(jnp.float32)) / nl)
+        unsup["rpn/num_valid_proposals"] = (
+            jnp.sum(prop_u.valid.astype(jnp.float32)) / nu)
 
         s_boxes, s_cls, s_fg, s_matched, s_valid = self._sample_rois_sup(ko, prop_l, gt_l)
         k_boxes, k_pboxes, k_logits, k_sigma, k_valid = self._keep_rois_unsup(prop_u, pseudo)

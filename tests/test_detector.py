@@ -263,3 +263,56 @@ def test_teacher_nms_candidates_prefilter(setup):
     np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
     np.testing.assert_allclose(np.asarray(d1.boxes)[np.asarray(d0.valid)],
                                np.asarray(d0.boxes)[np.asarray(d0.valid)], atol=1e-5)
+
+
+def test_unsup_rpn_losses_not_scaled_by_loss_weight(setup):
+    """The reference applies MODEL.RPN.LOSS_WEIGHT only in the SUPERVISED
+    branch (rpn.py:141 sits in the `elif self.training` arm; the unsupervised
+    arm at rpn.py:115-135 returns unweighted losses)."""
+    det, params, images, gt = setup
+    pseudo = jax.jit(det.pseudo_labels)(params, images)
+    weighted = PTDetector(TINY.__class__(**{**TINY.__dict__, "rpn_loss_weight": 2.0}))
+
+    base = jax.jit(det.unsupervised_losses)(params, images, pseudo, None)
+    scaled = jax.jit(weighted.unsupervised_losses)(params, images, pseudo, None)
+    for k in ("loss_rpn_cls", "loss_rpn_loc"):
+        assert np.isclose(float(base[k]), float(scaled[k])), k
+
+    sup0 = jax.jit(det.supervised_losses)(params, images, gt, jax.random.key(1))
+    sup2 = jax.jit(weighted.supervised_losses)(params, images, gt, jax.random.key(1))
+    for k in ("loss_rpn_cls", "loss_rpn_loc"):
+        assert np.isclose(2 * float(sup0[k]), float(sup2[k]), rtol=1e-5), k
+
+
+def test_unsup_rpn_boundary_thresh_filters_anchors(setup):
+    """BOUNDARY_THRESH >= 0 must ignore out-of-image anchors in the
+    UNSUPERVISED branch too: the reference sets gt_labels[~inside] = -1
+    (rpn.py:421-425) BEFORE the soft-label anchor_mask (rpn.py:427)."""
+    det, params, images, gt = setup
+    pseudo = jax.jit(det.pseudo_labels)(params, images)
+    bounded = PTDetector(TINY.__class__(**{**TINY.__dict__, "rpn_boundary_thresh": 0.0}))
+
+    base = jax.jit(det.unsupervised_losses)(params, images, pseudo, None)
+    filt = jax.jit(bounded.unsupervised_losses)(params, images, pseudo, None)
+    # image 1 is 48x60 inside a 64x64 canvas, so a strict inside filter drops
+    # boundary anchors that carried loss before -> the cls loss must change
+    assert not np.isclose(float(base["loss_rpn_cls"]), float(filt["loss_rpn_cls"]))
+    for k, v in filt.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_maxpool_tie_gradient_mass():
+    """Tied window maxima share the window's cotangent evenly: torch routes it
+    to ONE element; duplicating it across 2-4 bf16-tied elements would inflate
+    gradients exactly in flat (clipped/solarized) regions."""
+    from probabilisticteacher_tpu.modeling.backbone import _max_pool_2x2
+
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)  # every 2x2 window is a 4-way tie
+    g = jax.grad(lambda t: jnp.sum(_max_pool_2x2(t) * 3.0))(x)
+    # each window's cotangent is 3.0; mass per window must be 3.0, not 12.0
+    assert np.isclose(float(jnp.sum(g)), 4 * 3.0)
+    # distinct maxima still get the full cotangent
+    x2 = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    g2 = jax.grad(lambda t: jnp.sum(_max_pool_2x2(t)))(x2)
+    assert np.isclose(float(jnp.sum(g2)), 4.0)
+    assert float(jnp.max(g2)) == 1.0
