@@ -246,6 +246,19 @@ class PTDetector:
         return self.predictor.apply({"params": params["predictor"]}, x)
 
     # ------------------------------------------------------------- proposals
+    def _decode_clip_filter(self, d, anc, hw):
+        """Shared tail of every proposal-selection path: decode the (pre, 8)
+        deltas against their anchors, clip to the image, and build the
+        nonempty & finite keep mask (``proposal_utils.py:96-132``; the
+        reference RAISES on non-finite during training — we mask instead, a
+        documented PARITY deviation surfaced via rpn/num_valid_proposals)."""
+        a = self.arch
+        boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
+        boxes = box_ops.clip_boxes(boxes, hw)
+        keep = box_ops.nonempty(boxes, a.rpn_min_size)
+        keep &= jnp.all(jnp.isfinite(boxes), axis=-1)
+        return boxes, keep
+
     def predict_proposals(
         self, anchors, obj, deltas, image_hw, training: bool, grid_hw=None,
         budget=None,
@@ -279,11 +292,8 @@ class PTDetector:
                 kidx, kvalid = maxpool_nms_select(scores, grid_hw, self.A, post)
                 anc = jnp.take(anchors, kidx, axis=0)
                 d = jnp.take(deltas_i, kidx, axis=0)
-                boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
-                boxes = box_ops.clip_boxes(boxes, hw)
-                kvalid &= box_ops.nonempty(boxes, a.rpn_min_size)
-                kvalid &= jnp.all(jnp.isfinite(boxes), axis=-1)
-                return boxes, jnp.take(scores, kidx), kvalid
+                boxes, ok = self._decode_clip_filter(d, anc, hw)
+                return boxes, jnp.take(scores, kidx), kvalid & ok
 
             pb, ps, pv = jax.vmap(per_image_mp)(obj, deltas, image_hw)
             return Proposals(pb, ps, pv)
@@ -324,10 +334,8 @@ class PTDetector:
                                             hybrid_pre)
                 d = jnp.take(deltas_i, idx, axis=0)
                 anc = jnp.take(anchors, idx, axis=0)
-                boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
-                boxes = box_ops.clip_boxes(boxes, hw)
-                keep = box_ops.nonempty(boxes, a.rpn_min_size)
-                keep &= jnp.all(jnp.isfinite(boxes), axis=-1) & jnp.isfinite(scores)
+                boxes, keep = self._decode_clip_filter(d, anc, hw)
+                keep &= jnp.isfinite(scores)
                 kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
                 return jnp.take(boxes, kidx, axis=0), jnp.take(scores, kidx), kvalid
 
@@ -338,11 +346,8 @@ class PTDetector:
             scores, idx = jax.lax.top_k(obj_i, pre)
             d = jnp.take(deltas_i, idx, axis=0)           # (pre, 8)
             anc = jnp.take(anchors, idx, axis=0)          # (pre, 4)
-            boxes = apply_deltas(d[:, :4], anc, a.rpn_reg_weights)
-            boxes = box_ops.clip_boxes(boxes, hw)
-            keep = box_ops.nonempty(boxes, a.rpn_min_size)
-            finite = jnp.all(jnp.isfinite(boxes), axis=-1) & jnp.isfinite(scores)
-            keep = keep & finite
+            boxes, keep = self._decode_clip_filter(d, anc, hw)
+            keep &= jnp.isfinite(scores)
             rescale = 1.0 - jnp.mean(jax.nn.sigmoid(d[:, 4:]), axis=-1)
             scores = scores * rescale
             kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
