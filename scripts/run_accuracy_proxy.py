@@ -86,7 +86,9 @@ def main():
         "UNSUPNET.BURN_UP_STEP", str(args.burn),
         "SOLVER.IMG_PER_BATCH_LABEL", str(args.batch),
         "SOLVER.IMG_PER_BATCH_UNLABEL", str(args.batch),
-        "SOLVER.CHECKPOINT_PERIOD", "1000",
+        # 500, not 1000: a session crash before the first checkpoint rewinds
+        # the whole run (~1 h of chip time lost to the round-3 run-K crash)
+        "SOLVER.CHECKPOINT_PERIOD", "500",
         "SOLVER.WARMUP_ITERS", "100",
         "TEST.EVAL_PERIOD", str(args.eval_period),
         "INPUT.MIN_SIZE_TRAIN", "(480,)",
