@@ -301,6 +301,29 @@ def test_unsup_rpn_boundary_thresh_filters_anchors(setup):
         assert np.isfinite(float(v)), k
 
 
+def test_maxpool_gradient_torch_parity():
+    """Tie-free input: forward AND backward must match torch.nn.functional
+    max_pool2d exactly (the reference's pool, vgg.py:64-71 via nn.MaxPool2d)."""
+    torch = pytest.importorskip("torch")
+    from probabilisticteacher_tpu.modeling.backbone import _max_pool_2x2
+
+    rng = np.random.RandomState(3)
+    # distinct values in every window -> no ties, torch routing == split routing
+    x = rng.permutation(np.arange(2 * 6 * 8 * 3, dtype=np.float32)).reshape(2, 6, 8, 3)
+    cot = rng.randn(2, 3, 4, 3).astype(np.float32)
+
+    out, vjp = jax.vjp(_max_pool_2x2, jnp.asarray(x))
+    gx = np.asarray(vjp(jnp.asarray(cot))[0])
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)  # NCHW
+    ot = torch.nn.functional.max_pool2d(xt, 2, 2)
+    ot.backward(torch.tensor(cot.transpose(0, 3, 1, 2)))
+
+    np.testing.assert_array_equal(np.asarray(out),
+                                  ot.detach().numpy().transpose(0, 2, 3, 1))
+    np.testing.assert_array_equal(gx, xt.grad.numpy().transpose(0, 2, 3, 1))
+
+
 def test_maxpool_tie_gradient_mass():
     """Tied window maxima share the window's cotangent evenly: torch routes it
     to ONE element; duplicating it across 2-4 bf16-tied elements would inflate
