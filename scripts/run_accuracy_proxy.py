@@ -61,6 +61,10 @@ def main():
                         "for --iters iterations: locks compile + HBM at the "
                         "real-data recipe's shapes before a real C2F run "
                         "(VERDICT r2 Next #6c). Pair with --iters 50.")
+    p.add_argument("--resume", action="store_true",
+                   help="pass --resume to train_net so a crashed run continues "
+                        "from the last 500-iter checkpoint in --out instead of "
+                        "rewinding to iter 0")
     p.add_argument("--source-only", action="store_true",
                    help="burn-in only for the whole schedule (the reference's "
                         "'source only' baseline row, README.md:35); also "
@@ -136,8 +140,11 @@ def main():
     if args.supervise:
         cmd.insert(cmd.index(os.path.join(REPO, "train_net.py")) + 1, "--supervise")
         cmd += ["SOLVER.HOST_RSS_LIMIT_GB", str(args.supervise)]
+    if args.resume:
+        cmd.insert(cmd.index(os.path.join(REPO, "train_net.py")) + 1, "--resume")
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "driver.log"), "w") as logf:
+    with open(os.path.join(args.out, "driver.log"),
+              "a" if args.resume else "w") as logf:
         ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
     print(f"train_net exited {ret}")
     summarize(args.out)
