@@ -190,7 +190,16 @@ class PTrainer:
                 return
         weights = self.cfg.MODEL.WEIGHTS
         if weights and os.path.exists(weights):
-            self.state = load_weights(weights, self.state)
+            from ..d2_import import is_d2_checkpoint, load_detectron2_weights
+
+            if is_d2_checkpoint(weights):
+                # reference/detectron2-format torch checkpoint (the published
+                # PT result weights load through here with --eval-only)
+                self.state = load_detectron2_weights(
+                    weights, self.state,
+                    self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
+            else:
+                self.state = load_weights(weights, self.state)
             self.state = replicate(self.mesh, self.state)
             logger.info(f"Loaded weights from {weights}")
 
