@@ -44,6 +44,11 @@ import time
 import numpy as np
 
 V100_BASELINE_IMG_PER_SEC = 55.0
+# The reference publishes NO throughput; 55 img/s is an estimate (see module
+# docstring). Labeled in the JSON so vs_baseline is not mistaken for a
+# measured comparison (VERDICT r3 Next #8).
+BASELINE_RECORD = {"value": V100_BASELINE_IMG_PER_SEC, "estimated": True,
+                   "what": "1x V100 reference recipe, estimated"}
 CACHE_DIR = "/root/repo/.jax_cache"
 
 
@@ -191,7 +196,9 @@ def bench_e2e(batch: int, iters: int, data_root: str):
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / V100_BASELINE_IMG_PER_SEC, 3),
+        "baseline": BASELINE_RECORD,
         "data_time_share": round(data_t / iters / dt, 3),
+        "batch": batch,
     }
     print(json.dumps(out))
     return out
@@ -289,6 +296,7 @@ def run_worker(args):
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / V100_BASELINE_IMG_PER_SEC, 3),
+        "baseline": BASELINE_RECORD,
         "windows": [round(w, 2) for w in windows],
         "window_min": round(min(windows), 2),
         "window_max": round(max(windows), 2),
@@ -365,10 +373,46 @@ def run_orchestrated(args):
     if best is None:
         out = {"metric": "mutual-step train throughput", "value": 0.0,
                "unit": "images/sec/chip", "vs_baseline": 0.0,
+               "baseline": BASELINE_RECORD,
                "error": "all attempts failed", "attempts_values": attempts}
         print(json.dumps(out))
         return out
     best["attempts_values"] = attempts
+
+    # --- warm-compile measurement (VERDICT r3 Next #7): a second worker in a
+    # fresh process hits the persistent compile cache; its compile_s is the
+    # warm-start number the COMPILE_CACHE_DIR claim rests on.
+    remaining = budget - (time.monotonic() - t_start)
+    if remaining > 240:
+        log("[bench] warm-compile check (fresh process, persistent cache)")
+        rec = spawn_worker(["--iters", "2", "--windows", "1"] + worker_args[4:],
+                           min(remaining, 600))
+        if rec is not None:
+            best["compile_warm_s"] = rec["compile_s"]
+            log(f"[bench] warm compile: {rec['compile_s']} s "
+                f"(cold was {best.get('compile_s')} s)")
+        else:
+            log("[bench] warm-compile check failed; omitting")
+
+    # --- loader-in-the-loop e2e number (VERDICT r3 Next #4), same JSON line
+    remaining = budget - (time.monotonic() - t_start)
+    if not args.skip_e2e and remaining > 300:
+        log("[bench] e2e (loader in loop) measurement")
+        cmd = [sys.executable, os.path.abspath(__file__), "--e2e",
+               "--batch", str(best.get("batch", 8)), "--iters", str(args.iters),
+               "--data-root", args.data_root]
+        try:
+            proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                                  timeout=min(remaining, 1200))
+            lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
+            if proc.returncode == 0 and lines:
+                e2e = json.loads(lines[-1])
+                best["e2e"] = {"value": e2e["value"],
+                               "data_time_share": e2e["data_time_share"],
+                               "batch": e2e["batch"]}
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+            log(f"[bench] e2e measurement failed ({e}); omitting")
+
     print(json.dumps(best))
     return best
 
@@ -405,15 +449,23 @@ def main(argv=None):
                         "img/s for a 92 img/s graph)")
     p.add_argument("--e2e", action="store_true",
                    help="loader-in-the-loop throughput on the DAOD proxy tree")
+    p.add_argument("--skip-e2e", action="store_true",
+                   help="orchestrator: skip the loader-in-loop measurement")
     p.add_argument("--data-root", default="/root/repo/.proxy_data")
     args = p.parse_args(argv)
 
     if args.e2e:
+        if not os.path.exists(os.path.join(args.data_root, "data", "VOC2007_foggyval")):
+            subprocess.check_call(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "make_daod_proxy.py"),
+                 "--root", args.data_root])
         import jax
 
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-        return bench_e2e(args.batch or 4, args.iters, args.data_root)
+        return bench_e2e(args.batch or 8, args.iters, args.data_root)
     if args.smoke or args.worker:
         return run_worker(args)
     return run_orchestrated(args)

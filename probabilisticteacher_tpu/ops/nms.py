@@ -15,7 +15,10 @@ compiler-friendly formulation. This is a blocked greedy NMS:
   suppress boxes that would rank after it anyway).
 
 Suppression uses strict ``iou > thresh`` like torchvision. Exact-parity tested
-against torchvision's CPU NMS oracle.
+against an independent numpy restatement of torchvision's published greedy-NMS
+algorithm (``tests/oracles.py`` — torchvision itself is not installable in this
+environment, so the oracle is a from-the-paper reimplementation, not the
+torchvision binary).
 """
 
 from __future__ import annotations

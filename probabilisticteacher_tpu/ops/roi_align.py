@@ -2,8 +2,10 @@
 
 TPU-native replacement for the torchvision/detectron2 CUDA ROIAlign kernel exercised
 at ``pt/modeling/roi_heads/roi_heads.py:68-73,126``. Matches torchvision
-``roi_align(aligned=True)`` numerics for a fixed ``sampling_ratio`` (parity-tested
-against the torchvision CPU oracle).
+``roi_align(aligned=True)`` numerics for a fixed ``sampling_ratio``, parity-tested
+against an independent numpy restatement of the published bilinear-ROIAlign
+algorithm (``tests/oracles.py``; torchvision itself is not installable in this
+environment — only the max-pool gradient test runs against real torch).
 
 Deviation: the reference's POOLER_SAMPLING_RATIO=0 means an adaptive per-ROI sample
 count (ceil(roi_size/out_size)) — inherently dynamic-shape. We use a fixed sampling
