@@ -198,6 +198,29 @@ class PTDetector:
         return params
 
     # ------------------------------------------------------------ primitives
+    def _nms(self, boxes, scores, valid, thresh, max_keep):
+        """Exact greedy NMS; MODEL.RPN.NMS_IMPL selects the TPU formulation.
+
+        "pallas" = VMEM scan kernel (ops/nms_pallas.py), "greedy"/"greedy_xla"
+        = blocked fixed-point solver (ops/nms.py). Both are exact and
+        keep-set-parity tested against each other — the switch is purely a
+        performance choice, unlike maxpool/hybrid which change results.
+        """
+        if self.arch.rpn_nms_impl == "pallas":
+            from ..ops.nms_pallas import nms as nms_scan
+
+            return nms_scan(boxes, scores, valid, thresh, max_keep)
+        return nms(boxes, scores, valid, thresh, max_keep)
+
+    def _batched_nms(self, boxes, scores, idxs, valid, thresh, max_keep,
+                     block_size=256):
+        if self.arch.rpn_nms_impl == "pallas":
+            from ..ops.nms_pallas import batched_nms as batched_nms_scan
+
+            return batched_nms_scan(boxes, scores, idxs, valid, thresh, max_keep)
+        return batched_nms(boxes, scores, idxs, valid, thresh, max_keep,
+                           block_size=block_size)
+
     def preprocess(self, images: ImageBatch) -> jnp.ndarray:
         """Normalize raw pixels (Caffe-BGR mean/std), zero the padding, keep NHWC.
 
@@ -336,7 +359,7 @@ class PTDetector:
                 anc = jnp.take(anchors, idx, axis=0)
                 boxes, keep = self._decode_clip_filter(d, anc, hw)
                 keep &= jnp.isfinite(scores)
-                kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
+                kidx, kvalid = self._nms(boxes, scores, keep, a.rpn_nms_thresh, post)
                 return jnp.take(boxes, kidx, axis=0), jnp.take(scores, kidx), kvalid
 
             pb, ps, pv = jax.vmap(per_image_hy)(obj, deltas, image_hw)
@@ -350,7 +373,7 @@ class PTDetector:
             keep &= jnp.isfinite(scores)
             rescale = 1.0 - jnp.mean(jax.nn.sigmoid(d[:, 4:]), axis=-1)
             scores = scores * rescale
-            kidx, kvalid = nms(boxes, scores, keep, a.rpn_nms_thresh, post)
+            kidx, kvalid = self._nms(boxes, scores, keep, a.rpn_nms_thresh, post)
             return jnp.take(boxes, kidx, axis=0), jnp.take(scores, kidx), kvalid
 
         pb, ps, pv = jax.vmap(per_image)(obj, deltas, image_hw)
@@ -572,7 +595,7 @@ class PTDetector:
             # DETECTIONS_PER_IMAGE (100), smaller blocks hit the early exit
             # with ~16x less intra-block IoU work; block size never changes
             # results (invariance unit-tested) — measured 93.5 vs 93.4 img/s
-            kidx, kvalid = batched_nms(
+            kidx, kvalid = self._batched_nms(
                 flat_boxes, flat_scores, cls_ids, flat_valid, a.nms_thresh,
                 max_det, block_size=256,
             )
