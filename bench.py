@@ -428,8 +428,9 @@ def main(argv=None):
     p.add_argument("--window-budget-s", type=float, default=300.0,
                    help="worker budget for variance-extension windows")
     p.add_argument("--nms-impl", default="exact",
-                   choices=("exact", "maxpool", "hybrid"),
-                   help="RPN train NMS implementation (MODEL.RPN.NMS_IMPL)")
+                   choices=("exact", "maxpool", "hybrid", "pallas"),
+                   help="RPN train NMS implementation (MODEL.RPN.NMS_IMPL); "
+                        "pallas is the exact VMEM scan kernel")
     p.add_argument("--teacher-pre", type=int, default=-1,
                    help="UNSUPNET.TEACHER_PRE_NMS_TOPK (-1 = train budget)")
     p.add_argument("--teacher-post", type=int, default=-1,

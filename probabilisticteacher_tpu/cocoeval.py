@@ -88,24 +88,41 @@ def _evaluate_img(dts: List[dict], gts: List[dict], ious: np.ndarray,
     dtm = np.zeros((t_n, d_n))
     dt_ig = np.zeros((t_n, d_n))
     if g_n and d_n:
+        # the published greedy T x D x G scan, on plain Python lists — numpy
+        # scalar indexing in this hot loop is ~10x slower than list access at
+        # the tiny per-(image, category) shapes (D <= 100, G ~ 2-10)
+        iou_rows = ious_s.tolist()
+        gig = g_ig.tolist()
+        gt_ids = [g["id"] for g in gts_s]
+        dt_ids = [d["id"] for d in dts]
+        gtm_l = [[0.0] * g_n for _ in range(t_n)]
+        dtm_l = [[0.0] * d_n for _ in range(t_n)]
+        dtig_l = [[0.0] * d_n for _ in range(t_n)]
         for tind, t in enumerate(IOU_THRS):
+            gtm_row, dtm_row, dtig_row = gtm_l[tind], dtm_l[tind], dtig_l[tind]
+            t0 = min(t, 1 - 1e-10)
             for dind in range(d_n):
-                iou = min(t, 1 - 1e-10)
+                row = iou_rows[dind]
+                iou = t0
                 m = -1
                 for gind in range(g_n):
-                    if gtm[tind, gind] > 0 and not iscrowd[gind]:
+                    if gtm_row[gind] > 0 and not iscrowd[gind]:
                         continue
-                    if m > -1 and g_ig[m] == 0 and g_ig[gind] == 1:
+                    if m > -1 and gig[m] == 0 and gig[gind] == 1:
                         break
-                    if ious_s[dind, gind] < iou:
+                    v = row[gind]
+                    if v < iou:
                         continue
-                    iou = ious_s[dind, gind]
+                    iou = v
                     m = gind
                 if m == -1:
                     continue
-                dt_ig[tind, dind] = g_ig[m]
-                dtm[tind, dind] = gts_s[m]["id"]
-                gtm[tind, m] = dts[dind]["id"]
+                dtig_row[dind] = gig[m]
+                dtm_row[dind] = gt_ids[m]
+                gtm_row[m] = dt_ids[dind]
+        gtm = np.asarray(gtm_l)
+        dtm = np.asarray(dtm_l)
+        dt_ig = np.asarray(dtig_l)
     # ignore unmatched dets outside the area range
     a = np.array([d["area"] < area_rng[0] or d["area"] > area_rng[1] for d in dts])
     dt_ig = np.logical_or(dt_ig, np.logical_and(dtm == 0, np.tile(a, (t_n, 1))))
@@ -217,15 +234,13 @@ class COCOEvaluator:
                         rc = tp / npig
                         pr = tp / (fp + tp + np.spacing(1))
                         recall[t, k, a, m] = rc[-1] if nd else 0.0
+                        # monotone envelope: pr[i-1] = max(pr[i-1], pr[i]) from
+                        # the end == reverse cummax (vectorized, identical)
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         q = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
                         inds = np.searchsorted(rc, REC_THRS, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < nd:
-                                q[ri] = pr[pi]
+                        ok = inds < nd
+                        q[ok] = pr[inds[ok]]
                         precision[t, :, k, a, m] = q
         return precision, recall
 

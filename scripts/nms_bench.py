@@ -42,6 +42,11 @@ def main():
     p.add_argument("--block", type=int, default=1024)
     p.add_argument("--unroll", type=int, default=0, help="0 = module default")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--impl", default="block", choices=("block", "pallas"),
+                   help="block = ops.nms fixed-point; pallas = ops.nms_pallas scan")
+    p.add_argument("--roi-cands", type=int, default=16000,
+                   help="teacher class-NMS candidate count (the real mutual "
+                        "step flattens P*K = 2000*8 = 16000, detector.py:560)")
     args = p.parse_args()
 
     import probabilisticteacher_tpu.ops.nms as N
@@ -55,18 +60,30 @@ def main():
     rpn_scores = jnp.asarray(rng.rand(24, 12000).astype(np.float32))
     valid = jnp.ones((24, 12000), bool)
 
-    roi_boxes = jnp.asarray(boxes_like_rpn(rng, 8, 2000))
-    roi_scores = jnp.asarray(rng.rand(8, 2000).astype(np.float32))
-    roi_cls = jnp.asarray(rng.randint(0, 8, (8, 2000)), jnp.int32)
-    roi_valid = jnp.ones((8, 2000), bool)
+    rc = args.roi_cands
+    roi_boxes = jnp.asarray(boxes_like_rpn(rng, 8, rc))
+    roi_scores = jnp.asarray(rng.rand(8, rc).astype(np.float32))
+    roi_cls = jnp.asarray(rng.randint(0, 8, (8, rc)), jnp.int32)
+    roi_valid = jnp.ones((8, rc), bool)
 
-    @jax.jit
-    def run(rb, rs, rv, tb, ts, tc, tv):
-        i1, v1 = jax.vmap(lambda b, s, v: N.nms(b, s, v, 0.7, 2000, args.block))(rb, rs, rv)
-        i2, v2 = jax.vmap(lambda b, s, c, v: N.batched_nms(b, s, c, v, 0.5, 100, args.block))(
-            tb, ts, tc, tv)
-        return (jnp.sum(v1.astype(jnp.int32)) + jnp.sum(v2.astype(jnp.int32)),
-                jnp.sum(i1) + jnp.sum(i2))
+    if args.impl == "pallas":
+        import probabilisticteacher_tpu.ops.nms_pallas as NP
+
+        @jax.jit
+        def run(rb, rs, rv, tb, ts, tc, tv):
+            i1, v1 = jax.vmap(lambda b, s, v: NP.nms(b, s, v, 0.7, 2000))(rb, rs, rv)
+            i2, v2 = jax.vmap(lambda b, s, c, v: NP.batched_nms(b, s, c, v, 0.5, 100))(
+                tb, ts, tc, tv)
+            return (jnp.sum(v1.astype(jnp.int32)) + jnp.sum(v2.astype(jnp.int32)),
+                    jnp.sum(i1) + jnp.sum(i2))
+    else:
+        @jax.jit
+        def run(rb, rs, rv, tb, ts, tc, tv):
+            i1, v1 = jax.vmap(lambda b, s, v: N.nms(b, s, v, 0.7, 2000, args.block))(rb, rs, rv)
+            i2, v2 = jax.vmap(lambda b, s, c, v: N.batched_nms(
+                b, s, c, v, 0.5, 100, min(args.block, 256)))(tb, ts, tc, tv)
+            return (jnp.sum(v1.astype(jnp.int32)) + jnp.sum(v2.astype(jnp.int32)),
+                    jnp.sum(i1) + jnp.sum(i2))
 
     out = run(rpn_boxes, rpn_scores, valid, roi_boxes, roi_scores, roi_cls, roi_valid)
     print("kept:", int(out[0]))
@@ -79,7 +96,8 @@ def main():
         prev = out
     int(prev[0])
     dt = (time.perf_counter() - t0) / args.iters * 1e3
-    print(f"block={args.block} unroll={args.unroll or 'default'}: {dt:.2f} ms/iter")
+    print(f"impl={args.impl} block={args.block} unroll={args.unroll or 'default'} "
+          f"roi_cands={args.roi_cands}: {dt:.2f} ms/iter")
 
 
 if __name__ == "__main__":

@@ -88,7 +88,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--nms-impl", default="exact",
-                   choices=("exact", "maxpool", "hybrid"))
+                   choices=("exact", "maxpool", "hybrid", "pallas"))
     p.add_argument("--teacher-pre", type=int, default=-1)
     p.add_argument("--teacher-post", type=int, default=-1)
     p.add_argument("--keep", default=None, help="keep trace dir at this path")
