@@ -165,14 +165,12 @@ def _fwd(features, boxes, spatial_scale, output_size, sampling_ratio, interpret)
     return out, (wy, wx)
 
 
-def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
-    wy, wx = res  # wy carries the features dtype; shapes give (H, W)
-    # dF[n, h, w, c] = sum_r Wy[n, r]^T @ dOut[n, r] @ Wx[n, r]
-    # Contract the POOLED q axis first: the (N, R, x, H, C) intermediate is
-    # (H/W)x smaller than the x-first (N, R, q, W, C) order (H=38 vs W=76 on
-    # the wide canvas) — HBM traffic dominates this op. Intermediates run in
-    # the feature dtype (bf16 under AMP; multi-GB in f32); the final (r, x)
-    # reduction accumulates in f32 via preferred_element_type.
+def _bwd_einsum(wy, wx, g):
+    """XLA fallback backward: dF[n] = sum_r Wy[n,r]^T @ dOut[n,r] @ Wx[n,r].
+
+    Materializes a multi-GB (N, R, x, H, C) intermediate in HBM (q-first on the
+    wide canvas, x-first on the tall one — whichever is smaller); kept as the
+    fallback for shapes the fused kernel cannot tile."""
     if wy.shape[-1] <= wx.shape[-1]:  # wide canvas: H < W -> q-first smaller
         u = jnp.einsum("nrqh,nrqxc->nrxhc", wy, g.astype(wy.dtype),
                        preferred_element_type=wy.dtype)
@@ -183,7 +181,106 @@ def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
                        preferred_element_type=wx.dtype)
         df = jnp.einsum("nrqh,nrqwc->nhwc", wy, t,
                         preferred_element_type=jnp.float32)
-    return df.astype(wy.dtype), None
+    return df.astype(wy.dtype)
+
+
+def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
+    """(rb, n_wchunks) for the fused backward; (0, 0) -> einsum fallback.
+
+    VMEM budget: f32 accumulator (h, w*c) + d_tmp (rb*p, wch*c) in the feature
+    dtype + double-buffered g/out blocks. Bigger rb raises the h-contraction's
+    K (= rb*p) and with it MXU utilization; w-chunking bounds d_tmp (w is the
+    MAJOR axis of the (w, c) minor pair, so both the wx slice and the acc
+    update stay contiguous)."""
+    acc = h * w * c * 4
+    for rb in (16, 8):
+        if r % rb:
+            continue
+        for nw in (2, 4, 1):
+            if w % nw:
+                continue
+            d_tmp = rb * p * (w // nw) * c * 2
+            gblk = 2 * rb * p * p * c * 2
+            outblk = 2 * h * w * c * 2
+            if acc + d_tmp + gblk + outblk < 13 * 1024 * 1024:
+                return rb, nw
+    return 0, 0
+
+
+def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
+                *, p: int, nw: int):
+    """wyt (1, H, RB*p), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out (1, H, W*C).
+
+    Per ROI block and w-chunk: d_tmp[(r, q), (w-chunk, c)] = wxt_r-chunk @
+    g[r, q] (the x-interp backward, one small dot per (r, q)), then
+    acc[h, (w-chunk, c)] += wyt_block @ d_tmp — one MXU dot with K = RB*p.
+    acc lives in f32 scratch across the ROI-block grid; the final block writes
+    it out in the feature dtype. No HBM intermediate (the XLA einsum fallback
+    materializes a multi-GB (N, R, x, H, C) tensor).
+    """
+    i = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    h = wyt_ref.shape[1]
+    rbp = wyt_ref.shape[2]
+    rb = wxt_ref.shape[1]
+    w = wxt_ref.shape[2]
+    c = g_ref.shape[2] // p
+    wch = w // nw
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    for wj in range(nw):
+        for r in range(rb):
+            wxr = wxt_ref[0, r, wj * wch:(wj + 1) * wch]       # (wch, p)
+            for q in range(p):
+                # x-interp backward: (wch, p_x) @ (p_x, C)
+                d = jnp.dot(wxr, g_ref[0, r * p + q].reshape(p, c),
+                            preferred_element_type=jnp.float32)
+                d_ref[r * p + q] = d.reshape(wch * c).astype(d_ref.dtype)
+        upd = jnp.dot(wyt_ref[0], d_ref[:, :],
+                      preferred_element_type=jnp.float32)       # (H, wch*C)
+        sl = slice(wj * wch * c, (wj + 1) * wch * c)
+        acc_ref[:, sl] = acc_ref[:, sl] + upd
+
+    @pl.when(i == nblk - 1)
+    def _():
+        out_ref[0] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def _bwd_pallas(wy, wx, g, interpret=False):
+    n, r, p, h = wy.shape
+    w = wx.shape[3]
+    c = g.shape[-1]
+    rb, nw = _bwd_plan(r, p, h, w, c)
+    if rb == 0:
+        return _bwd_einsum(wy, wx, g)
+    wyt = wy.transpose(0, 3, 1, 2).reshape(n, h, r * p)   # (n, H, R*p)
+    wxt = wx.transpose(0, 1, 3, 2)                        # (n, R, W, p)
+    gflat = g.astype(wy.dtype).reshape(n, r * p, p * c)
+    out = pl.pallas_call(
+        partial(_bwd_kernel, p=p, nw=nw),
+        grid=(n, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, h, rb * p), lambda ni, i: (ni, 0, i)),
+            pl.BlockSpec((1, rb, w, p), lambda ni, i: (ni, i, 0, 0)),
+            pl.BlockSpec((1, rb * p, p * c), lambda ni, i: (ni, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w * c), lambda ni, i: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w * c), wy.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, w * c), jnp.float32),
+            pltpu.VMEM((rb * p, (w // nw) * c), wy.dtype),
+        ],
+        interpret=interpret,
+    )(wyt, wxt, gflat)
+    return out.reshape(n, h, w, c)
+
+
+def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
+    wy, wx = res  # wy carries the features dtype; shapes give (H, W)
+    return _bwd_pallas(wy, wx, g, interpret), None
 
 
 roi_align_pallas.defvjp(_fwd, _bwd)

@@ -281,6 +281,40 @@ class TestROIAlignPallas:
         g2 = jax.grad(lambda f: jnp.sum(roi_align_batched(f, rois, 1.0 / 16, 7, 2, impl="pallas")))(feat)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
 
+    def test_fused_backward_kernel_matches_einsum(self):
+        """The fused Pallas backward (kernel-eligible shape: C % 128 == 0,
+        R % 8 == 0) vs the einsum fallback, with a non-trivial cotangent."""
+        from probabilisticteacher_tpu.ops import roi_align_pallas as rap
+
+        rng = np.random.RandomState(10)
+        n, r, h, w, c, p = 2, 16, 9, 12, 128, 7
+        assert rap._bwd_plan(r, p, h, w, c)[0] > 0, "shape must hit the kernel"
+        feat = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+        rois = jnp.asarray(rng.uniform(0, 100, (n, r, 4)).astype(np.float32))
+        rois = rois.at[..., 2:].set(rois[..., :2] + rng.uniform(20, 80, (n, r, 2)))
+        ct = jnp.asarray(rng.randn(n, r, p, p, c).astype(np.float32))
+
+        wy, wx = rap._pool_matrices(feat.shape, rois, 1.0 / 16, p, 2, feat.dtype)
+        df_kernel = rap._bwd_pallas(wy, wx, ct, interpret=True)
+        df_einsum = rap._bwd_einsum(wy, wx, ct)
+        np.testing.assert_allclose(np.asarray(df_kernel), np.asarray(df_einsum),
+                                   rtol=2e-4, atol=2e-4)
+
+        # and end-to-end through the custom VJP (vjp of sum(out * ct))
+        def loss(f):
+            out = rap.roi_align_pallas(f, rois, 1.0 / 16, p, 2, True)
+            return jnp.sum(out * ct)
+
+        g_pallas = jax.grad(loss)(feat)
+        from probabilisticteacher_tpu.ops.roi_align import roi_align_batched
+
+        def loss_mxu(f):
+            return jnp.sum(roi_align_batched(f, rois, 1.0 / 16, p, 2, impl="mxu") * ct)
+
+        g_mxu = jax.grad(loss_mxu)(feat)
+        np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_mxu),
+                                   rtol=2e-4, atol=2e-4)
+
 
 class TestNMSStress:
     def test_long_suppression_chains(self):
