@@ -278,9 +278,20 @@ def _bwd_pallas(wy, wx, g, interpret=False):
     return out.reshape(n, h, w, c)
 
 
+# The fused backward is numerically equivalent but NOT bit-identical to the
+# einsum path (different accumulation order); training-trajectory experiments
+# (REPORT_accuracy.md) need bit-stable gradients across rounds, so the fused
+# kernel is opt-in until it has an on-chip perf + trajectory check.
+import os as _os
+
+FUSED_BWD = _os.environ.get("PT_ROIALIGN_FUSED_BWD", "0") == "1"
+
+
 def _bwd(spatial_scale, output_size, sampling_ratio, interpret, res, g):
     wy, wx = res  # wy carries the features dtype; shapes give (H, W)
-    return _bwd_pallas(wy, wx, g, interpret), None
+    if FUSED_BWD:
+        return _bwd_pallas(wy, wx, g, interpret), None
+    return _bwd_einsum(wy, wx, g), None
 
 
 roi_align_pallas.defvjp(_fwd, _bwd)
