@@ -1,32 +1,39 @@
-"""Pallas greedy-NMS scan kernel (exact semantics, VMEM-resident).
+"""Pallas greedy-NMS kernel (exact semantics, VMEM-resident, kept-box loop).
 
-Replaces the blocked fixed-point solver in ``ops/nms.py`` on TPU. The blocked
-formulation solves the sequential keep/suppress recurrence with Jacobi matvec
-iterations — (1, B) @ (B, B) products that use 1/128 of the MXU's rows and pay
-a full while-loop round per 8 updates; at production budgets (24 images x
-12000 -> 2000 @0.7 per mutual step) that is ~34 ms of pure while time
-(DESIGN.md round-2 trace). This kernel instead runs the ORIGINAL sequential
-greedy scan, which is cheap when the whole problem lives in VMEM:
+Replaces the blocked fixed-point solver in ``ops/nms.py`` on TPU when
+``MODEL.RPN.NMS_IMPL pallas`` is set. The blocked formulation solves the
+sequential keep/suppress recurrence with Jacobi matvec iterations — (1, B) @
+(B, B) products that use 1/128 of the MXU's rows and pay a full while-loop
+round per 8 updates; measured 27.3 ms for one mutual step's NMS workload
+(24 x 12000->2000 @0.7 RPN + 8 x 16000->100 @0.5 teacher class-NMS,
+``scripts/nms_bench.py`` on chip). This kernel instead runs the ORIGINAL
+sequential greedy scan with one loop iteration per KEPT box, not per row:
 
-- boxes (pre-sorted by descending score, like torchvision) are laid out as
-  coordinate PLANES ``(6, 8, K/8)`` f32 — x0, y0, x1, y1, area, valid — so a
-  single box's suppression row is a full-width (8, K/8) VPU op (1024 elems per
-  vinsn), not a (1, K) strip;
-- one ``while_loop`` visits rows in score order; a suppressed row costs two
-  scalar reads; a KEPT row broadcasts its coords and ORs ``iou > t`` into the
-  suppression plane in ~K/1024 vector instructions per arithmetic op;
+- boxes (pre-sorted by descending score, like the reference's CUDA ``nms``)
+  are laid out as (W, 128) f32 planes — x0, y0, x1, y1, area, valid — where
+  box i sits at (i // 128, i % 128);
+- each iteration loads the 128-lane window holding the scan frontier and
+  finds the first unsuppressed lane with one masked min-reduce. Suppressed
+  rows are never visited individually — an exhausted window advances the
+  frontier 128 rows at once, so the loop runs ~(kept + K/128) times;
+- a found box broadcasts its coords against the full planes and ORs
+  ``iou > t`` into the suppression plane — ~K/1024 vector registers per
+  elementwise op;
 - the loop exits as soon as ``max_keep`` boxes are kept (score order makes
   this exact — a full buffer means no later box can be kept or matter).
 
-Total work is O(kept * K) VPU elementwise — no (B, B) IoU matrices in HBM, no
-matvecs, no convergence iterations. Exactness: the IoU expression reproduces
-``ops.boxes.pairwise_iou`` operation-for-operation in f32 (guarded division,
-inter > 0 gate), and suppression uses the same strict ``iou > thresh``;
-keep-set parity with ``ops.nms.nms`` is unit-tested across random and
-adversarial (tie/chain) inputs.
+Mosaic constraints honored (the first version failed TPU lowering): no
+scalar stores to VMEM — per-box writes go through full-plane masked stores;
+scalar READS with dynamic indices (box coords, suppression bit) do lower.
 
-Used by default for RPN proposal selection and teacher class-aware NMS
-(``MODEL.RPN.NMS_IMPL greedy``); ``greedy_xla`` selects the blocked solver.
+Total work is O(kept * K) VPU elementwise — no (B, B) IoU matrices in HBM,
+no matvecs, no convergence iterations. Exactness: the IoU expression
+reproduces ``ops.boxes.pairwise_iou`` operation-for-operation in f32
+(guarded division, inter > 0 gate), and suppression uses the same strict
+``iou > thresh``; keep-set parity with ``ops.nms.nms`` is unit-tested across
+random and adversarial (tie/chain) inputs (``tests/test_nms_pallas.py``).
+
+Opt-in via ``MODEL.RPN.NMS_IMPL pallas`` (``greedy`` = the blocked solver).
 Replaces torchvision's CUDA ``nms`` exercised via detectron2 ``batched_nms``
 at ``proposal_utils.py:140`` and ``fast_rcnn.py:104`` in the reference.
 """
@@ -41,13 +48,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANES = 128
+
 
 def _kernel(thresh_ref, data_ref, keep_ref, supp_ref, *, k: int, max_keep: int,
-            lanes: int):
-    """data_ref (6, 8, L) f32 planes: x0, y0, x1, y1, area, valid (1/0).
+            nwin: int):
+    """data_ref (6, W, 128) f32 planes: x0, y0, x1, y1, area, valid (1/0).
 
-    keep_ref (8, L) f32 out (1.0 = kept); supp_ref (8, L) f32 scratch.
-    Box i lives at plane position (i // L, i % L).
+    keep_ref (W, 128) f32 out (1.0 = kept); supp_ref (W, 128) f32 scratch.
+    Box i lives at plane position (i // 128, i % 128).
     """
     t = thresh_ref[0]
     # invalid rows start suppressed: they are never kept and never suppress
@@ -60,19 +69,34 @@ def _kernel(thresh_ref, data_ref, keep_ref, supp_ref, *, k: int, max_keep: int,
     y1p = data_ref[3, :, :]
     arp = data_ref[4, :, :]
 
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (nwin, _LANES), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (nwin, _LANES), 1)
+
     def body(state):
         i, cnt = state
-        r = i // lanes
-        c = i - r * lanes
-        not_sup = supp_ref[r, c] < 0.5
+        w = jax.lax.shift_right_logical(i, 7)  # i // 128
+        off = jax.lax.bitwise_and(i, _LANES - 1)  # i % 128
+        win = supp_ref[pl.ds(w, 1), :]  # (1, 128)
+        cand = jnp.where((win < 0.5) & (lane1 >= off), lane1, _LANES)
+        j = jnp.min(cand)  # first unsuppressed lane at/after the frontier
+        found = j < _LANES
 
-        @pl.when(not_sup)
+        @pl.when(found)
         def _():
-            x0 = data_ref[0, r, c]
-            y0 = data_ref[1, r, c]
-            x1 = data_ref[2, r, c]
-            y1 = data_ref[3, r, c]
-            ar = data_ref[4, r, c]
+            # Mosaic cannot prove lane alignment for a dynamic scalar load
+            # data_ref[p, w, j]; extract the box via a one-hot reduce over the
+            # (1, 128) window instead (lane offset 0 is static).
+            hot = (lane1 == j).astype(jnp.float32)
+
+            def pick(p):
+                return jnp.sum(data_ref[p, pl.ds(w, 1), :] * hot)
+
+            x0 = pick(0)
+            y0 = pick(1)
+            x1 = pick(2)
+            y1 = pick(3)
+            ar = pick(4)
             # ops.boxes.pairwise_iou, operation for operation (f32)
             iw = jnp.minimum(x1, x1p) - jnp.maximum(x0, x0p)
             ih = jnp.minimum(y1, y1p) - jnp.maximum(y0, y0p)
@@ -82,9 +106,11 @@ def _kernel(thresh_ref, data_ref, keep_ref, supp_ref, *, k: int, max_keep: int,
                             inter / jnp.where(union > 0.0, union, 1.0), 0.0)
             supp_ref[:, :] = jnp.maximum(supp_ref[:, :],
                                          (iou > t).astype(jnp.float32))
-            keep_ref[r, c] = 1.0
+            onehot = (row2 == w) & (lane2 == j)
+            keep_ref[:, :] = jnp.where(onehot, 1.0, keep_ref[:, :])
 
-        return i + 1, cnt + not_sup.astype(jnp.int32)
+        next_i = jnp.where(found, w * _LANES + j + 1, (w + 1) * _LANES)
+        return next_i, cnt + found.astype(jnp.int32)
 
     def cond(state):
         i, cnt = state
@@ -107,9 +133,9 @@ def nms(
     score order, valid_out (max_keep,) bool). Invalid slots point at index 0.
     """
     kk = boxes.shape[0]
-    lanes_total = -(-kk // 1024) * 1024  # pad to (8, L) f32 tiles
-    lanes = lanes_total // 8
-    pad = lanes_total - kk
+    total = -(-kk // _LANES) * _LANES
+    nwin = total // _LANES
+    pad = total - kk
 
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(valid, scores, neg_inf)
@@ -124,21 +150,21 @@ def nms(
     ar = (x1 - x0) * (y1 - y0)
     data = jnp.stack(
         [x0, y0, x1, y1, ar, valid_s.astype(jnp.float32)]
-    ).reshape(6, 8, lanes)
+    ).reshape(6, nwin, _LANES)
 
     keep_plane = pl.pallas_call(
-        partial(_kernel, k=kk, max_keep=max_keep, lanes=lanes),
-        out_shape=jax.ShapeDtypeStruct((8, lanes), jnp.float32),
+        partial(_kernel, k=kk, max_keep=max_keep, nwin=nwin),
+        out_shape=jax.ShapeDtypeStruct((nwin, _LANES), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, lanes), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nwin, _LANES), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(iou_thresh, jnp.float32).reshape(1), data)
 
-    keep = keep_plane.reshape(lanes_total)[:kk] > 0.5
+    keep = keep_plane.reshape(total)[:kk] > 0.5
     # bounded append, identical to ops.nms.nms's buffer semantics
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     ok = keep & (pos < max_keep)
