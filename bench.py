@@ -387,7 +387,7 @@ def run_orchestrated(args):
         log("[bench] warm-compile check (fresh process, persistent cache)")
         rec = spawn_worker(["--iters", "2", "--windows", "1"] + worker_args[4:],
                            min(remaining, 600))
-        if rec is not None:
+        if rec is not None and rec.get("compile_s") is not None:
             best["compile_warm_s"] = rec["compile_s"]
             log(f"[bench] warm compile: {rec['compile_s']} s "
                 f"(cold was {best.get('compile_s')} s)")
@@ -410,7 +410,7 @@ def run_orchestrated(args):
                 best["e2e"] = {"value": e2e["value"],
                                "data_time_share": e2e["data_time_share"],
                                "batch": e2e["batch"]}
-        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, KeyError) as e:
             log(f"[bench] e2e measurement failed ({e}); omitting")
 
     print(json.dumps(best))
