@@ -37,7 +37,7 @@ def capture(fn, state, args, iters, tracedir):
         float(last)
 
 
-def parse_xplane(tracedir, topn=40, iters=1):
+def parse_xplane(tracedir, topn=40, iters=1, detail=False):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"), recursive=True)
@@ -49,7 +49,7 @@ def parse_xplane(tracedir, topn=40, iters=1):
     by_cat = collections.Counter()
     by_op = collections.Counter()
     op_count = collections.Counter()
-    op_cat = {}
+    op_stats = {}
     for plane in xspace.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
@@ -73,6 +73,17 @@ def parse_xplane(tracedir, topn=40, iters=1):
                 key = md.display_name or md.name
                 by_op[(cat, key)] += dur
                 op_count[(cat, key)] += 1
+                if detail and (cat, key) not in op_stats:
+                    # every string/number stat the runtime attached (source
+                    # line, tf_op/jax scope, HLO expression, memory BW, ...)
+                    rec = {}
+                    for st in list(ev.stats) + list(md.stats):
+                        name = stat_names.get(st.metadata_id, "?")
+                        val = (st.str_value or st.int64_value or st.uint64_value
+                               or st.double_value or "")
+                        if val != "":
+                            rec[name] = str(val)
+                    op_stats[(cat, key)] = rec
     total = sum(by_cat.values())
     print(f"\n== device time by HLO category (total {total*1e3/iters:.1f} ms/iter) ==")
     for cat, t in by_cat.most_common():
@@ -81,6 +92,20 @@ def parse_xplane(tracedir, topn=40, iters=1):
     for (cat, op), t in by_op.most_common(topn):
         n = op_count[(cat, op)]
         print(f"  {t*1e3/iters:9.3f} ms  x{n//iters:<5d} [{cat}] {op[:110]}")
+        if detail:
+            rec = op_stats.get((cat, op), {})
+            for k in ("tf_op", "source", "source_info", "hlo_expression",
+                      "memory_bandwidth", "bytes_accessed", "flops",
+                      "long_name", "provenance"):
+                if k in rec:
+                    print(f"      {k}: {rec[k][:200]}")
+            extra = {k: v for k, v in rec.items()
+                     if k not in ("tf_op", "source", "source_info",
+                                  "hlo_expression", "memory_bandwidth",
+                                  "bytes_accessed", "flops", "long_name",
+                                  "provenance")}
+            if extra:
+                print(f"      stats: {str(extra)[:220]}")
 
 
 def main():
@@ -92,6 +117,9 @@ def main():
     p.add_argument("--teacher-pre", type=int, default=-1)
     p.add_argument("--teacher-post", type=int, default=-1)
     p.add_argument("--keep", default=None, help="keep trace dir at this path")
+    p.add_argument("--detail", action="store_true",
+                   help="print every stat the runtime attached to each top op "
+                        "(source scope, bytes, flops) — the attribution view")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -108,7 +136,7 @@ def main():
     t0 = time.perf_counter()
     capture(mutual, state, (limg, lgt, uimg, key), args.iters, tracedir)
     print(f"wall: {(time.perf_counter()-t0)/args.iters*1e3:.1f} ms/iter (incl warmup fetch)")
-    parse_xplane(tracedir, iters=args.iters)
+    parse_xplane(tracedir, iters=args.iters, detail=args.detail)
     if not args.keep:
         import shutil
         shutil.rmtree(tracedir, ignore_errors=True)
