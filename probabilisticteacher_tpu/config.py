@@ -354,6 +354,16 @@ def get_cfg() -> CfgNode:
     # -1 = off (exact, reference parity); near-exact when C >> the top
     # DETECTIONS_PER_IMAGE actually kept. Eval inference is never prefiltered.
     c.UNSUPNET.TEACHER_NMS_CANDIDATES = -1
+    # TPU-native stability lever (default 0 = reference-exact): linearly ramp
+    # the unsup loss weight from 0 to TARGET_UNSUP_LOSS_WEIGHT over this many
+    # iters after the burn-in boundary. Motivation: at the boundary the teacher
+    # is a copy of the student and the sudden full-strength consistency loss can
+    # shock the student; the EMA teacher then interpolates toward the
+    # fast-moving student and both can leave the good basin (observed on the
+    # compressed 1/10 proxy as seed-dependent post-boundary collapse,
+    # REPORT_accuracy.md round 4). The reference (trainer.py:290-392) applies
+    # the full weight from the first mutual iter.
+    c.UNSUPNET.UNSUP_LOSS_WARMUP_ITERS = 0
 
     return c
 

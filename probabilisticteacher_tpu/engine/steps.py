@@ -73,6 +73,7 @@ def make_train_steps(
     w_sup = float(cfg.UNSUPNET.SOURCE_LOSS_WEIGHT)
     w_unsup = float(cfg.UNSUPNET.TARGET_UNSUP_LOSS_WEIGHT)
     burn_up = int(cfg.UNSUPNET.BURN_UP_STEP)
+    unsup_warmup = int(cfg.UNSUPNET.UNSUP_LOSS_WARMUP_ITERS)
     ema_keep = float(cfg.UNSUPNET.EMA_KEEP_RATE)
     teacher_update_iter = int(cfg.UNSUPNET.TEACHER_UPDATE_ITER)
 
@@ -152,13 +153,22 @@ def make_train_steps(
         )
         batch_u = ImageBatch(strong_u, uimg.image_hw)
 
+        # opt-in boundary ramp (UNSUP_LOSS_WARMUP_ITERS; 0 = reference-exact
+        # full weight from the first mutual iter)
+        if unsup_warmup > 0:
+            ramp = jnp.clip(
+                (state.step - burn_up).astype(jnp.float32) / unsup_warmup, 0.0, 1.0)
+            w_u = w_unsup * ramp
+        else:
+            w_u = w_unsup
+
         def loss_fn(params):
             # fused student forward: one backbone/RPN/ROI pass over both views
             sup, unsup = detector.student_losses(
                 params, batch_l, gt_l, batch_u, pseudo_j, k_sup)
             losses = {k + "_sup": v for k, v in sup.items()}
             losses.update({k + "_unsup": v for k, v in unsup.items()})
-            total = w_sup * _sum_losses(sup) + w_unsup * _sum_losses(unsup)
+            total = w_sup * _sum_losses(sup) + w_u * _sum_losses(unsup)
             return total, losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)

@@ -36,6 +36,8 @@ def main():
                    help="UNSUPNET.TEACHER_POST_NMS_TOPK (round-3 perf lever)")
     p.add_argument("--teacher-cand", type=int, default=-1,
                    help="UNSUPNET.TEACHER_NMS_CANDIDATES (round-3 perf lever)")
+    p.add_argument("--unsup-warmup", type=int, default=0,
+                   help="UNSUPNET.UNSUP_LOSS_WARMUP_ITERS (boundary ramp)")
     p.add_argument("--pre-topk", type=int, default=0,
                    help="MODEL.RPN.PRE_NMS_TOPK_TRAIN (round-3 perf lever)")
     p.add_argument("--batch", type=int, default=16)
@@ -126,6 +128,8 @@ def main():
         cmd += ["UNSUPNET.TEACHER_POST_NMS_TOPK", str(args.teacher_post)]
     if args.teacher_cand > 0:
         cmd += ["UNSUPNET.TEACHER_NMS_CANDIDATES", str(args.teacher_cand)]
+    if args.unsup_warmup > 0:
+        cmd += ["UNSUPNET.UNSUP_LOSS_WARMUP_ITERS", str(args.unsup_warmup)]
     if args.pre_topk > 0:
         cmd += ["MODEL.RPN.PRE_NMS_TOPK_TRAIN", str(args.pre_topk)]
     if args.source_only:

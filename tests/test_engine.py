@@ -151,6 +151,65 @@ def test_burnin_and_mutual_steps():
         np.asarray(state.teacher["rpn_head"]["conv"]["kernel"]), expected, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_unsup_loss_warmup_ramp():
+    """UNSUP_LOSS_WARMUP_ITERS: at the burn boundary the ramp is 0 (the mutual
+    update must equal a TARGET_UNSUP_LOSS_WEIGHT=0 control), and past the ramp
+    it is 1 (must equal the reference-exact default)."""
+    cfg = tiny_cfg()
+    det = PTDetector(TINY)
+    rng = np.random.RandomState(1)
+    params = det.init(jax.random.key(0), (H, W))
+    tx = build_optimizer(cfg, params)
+
+    n, g = 2, 3
+    limg = ImageBatch(jnp.asarray(rng.randint(0, 255, (n, H, W, 3)).astype(np.float32)),
+                      jnp.asarray([[48.0, 48.0], [40.0, 44.0]]))
+    uimg = ImageBatch(jnp.asarray(rng.randint(0, 255, (n, H, W, 3)).astype(np.float32)),
+                      jnp.asarray([[48.0, 48.0], [48.0, 48.0]]))
+    boxes = np.zeros((n, g, 4), np.float32)
+    for i in range(n):
+        for j in range(g):
+            x1, y1 = rng.uniform(0, 24, 2)
+            boxes[i, j] = [x1, y1, x1 + rng.uniform(4, 16), y1 + rng.uniform(4, 16)]
+    gt = GroundTruth(jnp.asarray(boxes), jnp.asarray(rng.randint(0, 3, (n, g)), jnp.int32),
+                     jnp.ones((n, g), bool))
+    key = jax.random.key(7)
+
+    cfg_warm = cfg.clone()
+    cfg_warm.UNSUPNET.UNSUP_LOSS_WARMUP_ITERS = 4
+    cfg_zero = cfg.clone()
+    cfg_zero.UNSUPNET.TARGET_UNSUP_LOSS_WEIGHT = 0.0
+    _, mutual_warm = make_train_steps(cfg_warm, det, tx)
+    _, mutual_zero = make_train_steps(cfg_zero, det, tx)
+    _, mutual_ref = make_train_steps(cfg, det, tx)
+
+    def fresh(step):
+        st = create_train_state(det, tx, params=jax.tree.map(jnp.copy, params))
+        return st._replace(step=jnp.asarray(step, jnp.int32))
+
+    # at the boundary (step == BURN_UP_STEP == 2): ramp == 0
+    s_warm, _ = mutual_warm(fresh(2), limg, gt, uimg, key)
+    s_zero, _ = mutual_zero(fresh(2), limg, gt, uimg, key)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        s_warm.student, s_zero.student)
+
+    # past the ramp (step - burn_up >= 4): full weight == reference-exact
+    s_warm2, _ = mutual_warm(fresh(6), limg, gt, uimg, key)
+    s_ref2, _ = mutual_ref(fresh(6), limg, gt, uimg, key)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        s_warm2.student, s_ref2.student)
+
+    # mid-ramp differs from both endpoints
+    s_warm3, _ = mutual_warm(fresh(4), limg, gt, uimg, key)
+    s_ref3, _ = mutual_ref(fresh(4), limg, gt, uimg, key)
+    diff = float(jnp.abs(s_warm3.student["rpn_head"]["conv"]["kernel"]
+                         - s_ref3.student["rpn_head"]["conv"]["kernel"]).sum())
+    assert diff > 0
+
+
 def test_frozen_backbone_blocks():
     cfg = tiny_cfg()
     cfg.MODEL.BACKBONE.FREEZE_AT = 2
