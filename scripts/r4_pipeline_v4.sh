@@ -19,9 +19,12 @@ run_q () {  # name, timeout, extra args...
   echo "[r4v4] === $name done $(date) rc=$? ===" >> "$LOG"
 }
 
-run_q q_s0 9000
-run_q q_tpre  4200 --iters 1200 --teacher-pre 6000
-run_q q_tpost 4200 --iters 1200 --teacher-post 1000
+# q_s0 at 2400 iters: the collapse signature (q_s7/q_s13) shows within ~300
+# iters of the burn boundary and the healthy band is defined after 1500, so
+# 2400 decides init-vs-seed while leaving wall for the attribution runs.
+run_q q_s0 7800 --iters 2400
+run_q q_tpre  3900 --iters 1000 --teacher-pre 6000
+run_q q_tpost 3900 --iters 1000 --teacher-post 1000
 
 touch /root/repo/.proxy_runs/r4_pipeline.done
 echo "[r4v4] ALL DONE $(date)" >> "$LOG"
