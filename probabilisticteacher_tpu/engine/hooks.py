@@ -246,8 +246,9 @@ class MemoryGuardHook(HookBase):
 
     Long runs can exhaust HOST memory through leaks outside our control (e.g.
     a leaking device-transfer client: this repo's tunneled TPU backend leaks
-    ~the full upload size per step, ~35 MB/iter at batch 8 — measured in
-    DESIGN.md). The kernel OOM killer gives no chance to save state; this hook
+    ~the full upload size per step — ~35 MB/iter at batch 8, ~72 MB/iter at
+    batch 16+16, a kernel SIGKILL at ~1800 iters on the 128 GB host; measured
+    in DESIGN.md). The kernel OOM killer gives no chance to save state; this hook
     watches /proc/self/status VmRSS every ``period`` iters and, above
     ``limit_gb``, saves a checkpoint and exits with code 75 (EX_TEMPFAIL) so a
     supervisor (``train_net.py --supervise``) can relaunch with ``--resume``.

@@ -41,10 +41,13 @@ def main():
     p.add_argument("--pre-topk", type=int, default=0,
                    help="MODEL.RPN.PRE_NMS_TOPK_TRAIN (round-3 perf lever)")
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--supervise", type=float, default=0.0, metavar="RSS_GB",
+    p.add_argument("--supervise", type=float, default=100.0, metavar="RSS_GB",
                    help="run under train_net --supervise with "
                         "SOLVER.HOST_RSS_LIMIT_GB set to this (leak-resilient "
-                        "long runs on the tunneled-TPU host)")
+                        "long runs on the tunneled-TPU host, whose transfer "
+                        "client leaks ~the upload size per step — ~72 MB/iter "
+                        "at batch 16+16, a kernel-OOM SIGKILL at ~1800 iters "
+                        "on the 128 GB host). 0 disables the guard.")
     p.add_argument("--weights", default="",
                    help="MODEL.WEIGHTS init (e.g. a source-only run's orbax "
                         "checkpoint dir) — the proxy analog of the reference's "
@@ -147,9 +150,31 @@ def main():
     if args.resume:
         cmd.insert(cmd.index(os.path.join(REPO, "train_net.py")) + 1, "--resume")
     os.makedirs(args.out, exist_ok=True)
+    # Run the training tree in its own process group and forward SIGTERM/SIGINT
+    # to the whole group: `timeout N run_accuracy_proxy.py ...` signals only
+    # THIS process, and without forwarding the train_net (or, under
+    # --supervise, supervisor + child) tree survives as an orphan holding the
+    # chip — the round-4 q_s0 run had to be SIGKILLed by hand for exactly this.
+    import signal
+
     with open(os.path.join(args.out, "driver.log"),
               "a" if args.resume else "w") as logf:
-        ret = subprocess.call(cmd, env=env, stdout=logf, stderr=subprocess.STDOUT)
+        proc = subprocess.Popen(cmd, env=env, stdout=logf,
+                                stderr=subprocess.STDOUT, start_new_session=True)
+
+        def _forward(signum, _frame):
+            try:
+                os.killpg(proc.pid, signum)
+            except ProcessLookupError:
+                pass
+
+        prev = {s: signal.signal(s, _forward)
+                for s in (signal.SIGTERM, signal.SIGINT)}
+        try:
+            ret = proc.wait()
+        finally:
+            for s, h in prev.items():
+                signal.signal(s, h)
     print(f"train_net exited {ret}")
     summarize(args.out)
     return ret
