@@ -10,6 +10,18 @@ hardcoded in one loop: iteration timing, periodic writers (every 20), periodic
 checkpointing (rank 0), periodic dual eval of student+teacher (rank 0), and the
 JAX profiler window. Users add hooks via ``trainer.register_hooks([...])``
 without editing the trainer.
+
+Two detectron2 default hooks have no counterpart here by design
+(``DefaultTrainer.build_hooks``, ``trainer.py:503-547``):
+
+- ``LRScheduler`` — stepping the LR per iteration is a *host-side mutation* in
+  torch; here every schedule (WarmupMultiStep/Cosine/TwoStage, ``solver.py``)
+  is an optax ``schedule_fn(step)`` traced INTO the jitted train step, so the
+  LR advances in-graph with no hook and no host sync (the current value is
+  still reported through EventStorage for writer parity).
+- ``PreciseBN`` — gated in detectron2 on the model having BatchNorm; the
+  reference's VGG backbone and heads are BN-free (``pt/modeling/backbone/
+  vgg.py``), so the hook never activates in the reference either. n/a.
 """
 
 from __future__ import annotations
@@ -101,6 +113,10 @@ class PeriodicWriter(HookBase):
 
             # max across ranks, like the reference (trainer.py:407-411)
             host["data_time"] = host_max(t.last_data_time)
+            lr_table = getattr(t, "_lr_table", None)
+            if lr_table is not None and len(lr_table):
+                # "lr" in every write, like detectron2's LRScheduler hook
+                host["lr"] = float(lr_table[min(max(mit, 0), len(lr_table) - 1)])
             saved = t.storage.iter
             t.storage.iter = mit  # attribute to the step the values came from
             try:

@@ -114,6 +114,15 @@ class PTrainer:
         self.start_iter = 0
         self.max_iter = int(cfg.SOLVER.MAX_ITER)
         self.burn_up = int(cfg.UNSUPNET.BURN_UP_STEP)
+        # host-side LR table for writer parity (detectron2's LRScheduler hook
+        # puts "lr" in every write, trainer.py:544; our schedule advances
+        # in-graph, so the reported value is read from one precomputed table —
+        # a single tiny device round-trip at init, none per write)
+        from ..solver import build_lr_schedule
+
+        self._lr_table = np.asarray(
+            build_lr_schedule(cfg)(np.arange(max(self.max_iter, 1),
+                                             dtype=np.float32)))
         self.storage = EventStorage()
         # writers are rank-gated: on a pod every process would otherwise append
         # interleaved lines into metrics.json (reference writes on rank 0 only)

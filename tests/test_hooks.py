@@ -81,6 +81,20 @@ def test_custom_hooks_called_in_order(tmp_path):
     # it/s emitted by IterationTimer
     assert any(k == "it/s" for k in trainer.storage._latest)
 
+    # "lr" is in every write, like detectron2's LRScheduler hook (the schedule
+    # itself advances in-graph; the writer reads the precomputed host table)
+    import json
+
+    from probabilisticteacher_tpu.solver import build_lr_schedule
+
+    with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    lr_recs = [r for r in recs if "lr" in r]
+    assert lr_recs, "PeriodicWriter should report lr"
+    r = lr_recs[-1]
+    expect = float(build_lr_schedule(cfg)(np.float32(r["iteration"])))
+    assert r["lr"] == pytest.approx(expect, rel=1e-5)
+
 
 def test_checkpoint_retention(tmp_path):
     import jax.numpy as jnp
