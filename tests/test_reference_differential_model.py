@@ -72,6 +72,14 @@ class _Boxes:
     def cat(cls, boxes_list):
         return cls(torch.cat([b.tensor for b in boxes_list], dim=0))
 
+    def __getitem__(self, item):
+        return _Boxes(self.tensor[item])
+
+    def nonempty(self, threshold=0.0):
+        w = self.tensor[:, 2] - self.tensor[:, 0]
+        h = self.tensor[:, 3] - self.tensor[:, 1]
+        return (w > threshold) & (h > threshold)
+
     def __len__(self):
         return self.tensor.shape[0]
 
@@ -450,6 +458,79 @@ def test_fast_rcnn_inference_matches_reference(ref):
         np.testing.assert_allclose(
             _sorted(got, got_scores), _sorted(want, want_scores),
             rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# RPN proposal selection (proposal_utils.py:27-154)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_find_top_rpn_proposals_matches_reference(ref, training):
+    """detector.predict_proposals vs the reference's own find_top_rpn_proposals
+    (proposal_utils.py:27-154): pre-NMS topk by objectness, decode, clip,
+    min-size filter, sigma rescale ``score *= 1 - sum(sigmoid(sigma))/4``,
+    greedy NMS at 0.7, post-NMS topk.
+
+    Objectness logits are PRE-SORTED descending per image so the reference's
+    sigma ``narrow`` (proposal_utils.py:93-95, which skips the topk reindex —
+    the documented PARITY deviation 2) coincides with our gather-by-topk-index:
+    on sorted inputs the fixed and reference paths are identical, making the
+    rest of the pipeline differentiable-testable."""
+    from probabilisticteacher_tpu.modeling.detector import Arch, PTDetector
+    from probabilisticteacher_tpu.ops.box_regression import apply_deltas as jx_apply
+
+    arch = Arch(
+        num_classes=3, vgg_depth=11,
+        rpn_pre_nms_topk=(64, 48), rpn_post_nms_topk=(32, 24),
+        rpn_batch_per_image=16, roi_batch_per_image=16,
+        detections_per_image=8, unsup_roi_budget=16, fc_dim=32,
+    )
+    det = PTDetector(arch)
+
+    rng = np.random.default_rng(15)
+    n, r = 2, 200
+    obj = -np.sort(-rng.normal(0, 2, (n, r)).astype(np.float32), axis=1)
+    deltas = rng.normal(0, 0.6, (n, r, 8)).astype(np.float32)
+    anchors = _rand_boxes(rng, r, span=160.0)
+    image_hw = np.asarray([[128.0, 160.0], [96.0, 128.0]], np.float32)
+
+    props = det.predict_proposals(
+        jnp.asarray(anchors), jnp.asarray(obj), jnp.asarray(deltas),
+        jnp.asarray(image_hw), training=training)
+
+    b2b = ref.box_regression.Box2BoxTransform(weights=arch.rpn_reg_weights)
+    decoded = torch.stack([
+        b2b.apply_deltas(torch.from_numpy(deltas[i, :, :4]),
+                         torch.from_numpy(anchors))
+        for i in range(n)
+    ])
+    results = ref.proposal_utils.find_top_rpn_proposals(
+        proposals=[decoded],
+        pred_objectness_logits=[torch.from_numpy(obj)],
+        image_sizes=[tuple(map(int, hw)) for hw in image_hw],
+        nms_thresh=arch.rpn_nms_thresh,
+        pre_nms_topk=arch.rpn_pre_nms_topk[int(training)],
+        post_nms_topk=arch.rpn_post_nms_topk[int(training)],
+        min_box_size=arch.rpn_min_size,
+        training=training,
+        pred_anchor_deltas_sigma=[torch.from_numpy(deltas[..., 4:])],
+    )
+
+    for i in range(n):
+        nvalid = int(np.sum(np.asarray(props.valid[i])))
+        want_boxes = results[i].proposal_boxes.tensor.numpy()
+        want_scores = results[i].objectness_logits.numpy()
+        assert nvalid == len(want_boxes), (i, nvalid, len(want_boxes))
+        assert nvalid >= 5, "degenerate test: too few proposals survived"
+        got_scores = np.asarray(props.logits[i][:nvalid])
+        got_boxes = np.asarray(props.boxes[i][:nvalid])
+        order_g = np.argsort(-got_scores, kind="stable")
+        order_w = np.argsort(-want_scores, kind="stable")
+        np.testing.assert_allclose(got_scores[order_g], want_scores[order_w],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got_boxes[order_g], want_boxes[order_w],
+                                   rtol=1e-4, atol=1e-4)
 
 
 # --------------------------------------------------------------------------
