@@ -23,7 +23,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # torchvision rgb_to_grayscale
+# torchvision rgb_to_grayscale weights. Plain tuple, NOT a jnp array: a
+# module-level device constant initializes the default backend at import,
+# which races ahead of PTrainer's MODEL.DEVICE=cpu platform override (the
+# CLI then binds to the tunneled TPU and hangs on the first host fetch).
+_LUMA = (0.299, 0.587, 0.114)
 
 
 def _blend(img1: jnp.ndarray, img2: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:
@@ -33,7 +37,7 @@ def _blend(img1: jnp.ndarray, img2: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndar
 
 
 def _grayscale(img: jnp.ndarray) -> jnp.ndarray:
-    l = jnp.tensordot(img, _LUMA.astype(img.dtype), axes=[[-1], [0]])
+    l = jnp.tensordot(img, jnp.asarray(_LUMA, img.dtype), axes=[[-1], [0]])
     return jnp.broadcast_to(l[..., None], img.shape)
 
 

@@ -237,3 +237,61 @@ def test_native_loader_pil_parity(tmp_path):
     cf = out_f[0][: pil_r.shape[0], : pil_r.shape[1]]
     diff_f = np.abs(cf.astype(int) - pil_r[:, ::-1].astype(int))
     assert diff_f.max() <= 2
+
+
+def test_supervise_restart_inserts_resume_before_opts(monkeypatch):
+    """Memory-guard relaunch regression (found live at run_r iter 2350):
+    ``opts`` is nargs=REMAINDER, so the supervisor must insert ``--resume``
+    BEFORE the positional KEY VALUE overrides — appended at the end it is
+    swallowed into opts and merge_from_list dies on the odd-length pair list
+    instead of resuming (train_net.py::supervise)."""
+    import subprocess
+
+    import train_net as tn
+
+    calls = []
+    rcs = iter([75, 0])
+
+    def fake_call(cmd):
+        calls.append(list(cmd))
+        return next(rcs)
+
+    monkeypatch.setattr(subprocess, "call", fake_call)
+    argv = ["--config-file", "c.yaml", "--supervise",
+            "UNSUPNET.TAU", "[0.5,0.5]", "OUTPUT_DIR", "/tmp/x"]
+    rc = tn.supervise(argv)
+    assert rc == 0 and len(calls) == 2
+    assert "--supervise" not in calls[0]
+
+    restart = tn.parse_args(calls[1][2:])  # strip [python, train_net.py]
+    assert restart.resume
+    assert "--resume" not in restart.opts
+    assert len(restart.opts) % 2 == 0
+    # the opts themselves are untouched
+    assert restart.opts == ["UNSUPNET.TAU", "[0.5,0.5]", "OUTPUT_DIR", "/tmp/x"]
+
+
+def test_package_import_initializes_no_jax_backend():
+    """Importing the package (incl. the trainer) must not create a device
+    array or otherwise initialize a JAX backend: the CLI's MODEL.DEVICE=cpu
+    override runs AFTER import, so an import-time backend init binds the
+    process to the default platform first — on an axon host that is the
+    tunneled TPU, and the run hangs on its first host fetch (regression:
+    device_aug.py had a module-level jnp constant)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "import probabilisticteacher_tpu.engine.trainer\n"
+        "import probabilisticteacher_tpu.data.device_aug\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, list(xb._backends)\n"
+        "print('CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CLEAN" in out.stdout

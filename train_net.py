@@ -58,7 +58,12 @@ def supervise(argv):
     while True:
         cmd = list(child)
         if attempt > 0 and "--resume" not in cmd:
-            cmd.append("--resume")
+            # insert BEFORE the positional KEY VALUE opts: ``opts`` is
+            # nargs=REMAINDER, so an appended flag would be swallowed into the
+            # override list and crash merge_from_list with an odd-length pair
+            # error instead of resuming (bug found by a live memory-guard
+            # restart at run_r iter 2350)
+            cmd.insert(2, "--resume")
         rc = subprocess.call(cmd)
         if rc != 75:
             return rc
