@@ -156,7 +156,12 @@ def main():
     # --supervise, supervisor + child) tree survives as an orphan holding the
     # chip — the round-4 q_s0 run had to be SIGKILLed by hand for exactly this.
     import signal
+    import threading
 
+    stop_archiver = threading.Event()
+    archiver = threading.Thread(
+        target=_archive_loop, args=(args.out, stop_archiver), daemon=True)
+    archiver.start()
     with open(os.path.join(args.out, "driver.log"),
               "a" if args.resume else "w") as logf:
         proc = subprocess.Popen(cmd, env=env, stdout=logf,
@@ -175,9 +180,62 @@ def main():
         finally:
             for s, h in prev.items():
                 signal.signal(s, h)
+            stop_archiver.set()
+            archiver.join(timeout=30)
     print(f"train_net exited {ret}")
     summarize(args.out)
     return ret
+
+
+def archive_run(out_dir, archive_root=os.path.join(REPO, "docs", "proxy_runs")):
+    """Mirror a run's metrics.json + config.yaml into the GIT-TRACKED archive
+    (docs/proxy_runs/<run-name>/). Returns the archive dir, or None if the run
+    has produced nothing yet.
+
+    Why this exists: .proxy_runs/ is gitignored and the container filesystem is
+    ephemeral across rounds. Round-4's pre-registered run R was in flight at the
+    round boundary — the driver's end-of-round auto-commit could not capture its
+    2350+ iterations of eval curve, and the data was lost with the container.
+    Mirroring into a tracked path WHILE the run is live means any snapshot
+    commit preserves the curve up to that point.
+    """
+    name = os.path.basename(os.path.normpath(out_dir))
+    dst = os.path.join(archive_root, name)
+    copied = None
+    for fname in ("metrics.json", "config.yaml"):
+        src = os.path.join(out_dir, fname)
+        if not os.path.exists(src):
+            continue
+        os.makedirs(dst, exist_ok=True)
+        tmp = os.path.join(dst, fname + ".tmp")
+        with open(src, "rb") as f:
+            data = f.read()
+        out = os.path.join(dst, fname)
+        # skip the write when unchanged so the tracked tree stays quiet
+        if os.path.exists(out) and os.path.getsize(out) == len(data):
+            with open(out, "rb") as f:
+                if f.read() == data:
+                    copied = dst
+                    continue
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, out)
+        copied = dst
+    return copied
+
+
+def _archive_loop(out_dir, stop, period_s=60.0):
+    """Background mirror of the live run into the tracked archive (see
+    archive_run); one final sync after the run exits."""
+    while not stop.wait(period_s):
+        try:
+            archive_run(out_dir)
+        except OSError:
+            pass  # transient fs hiccup; next tick retries
+    try:
+        archive_run(out_dir)
+    except OSError:
+        pass
 
 
 def summarize(out_dir):
