@@ -227,5 +227,9 @@ def test_supervise_restarts_on_75(monkeypatch):
     assert len(calls) == 3
     assert "--supervise" not in calls[0]
     assert "--resume" not in calls[0]
-    assert calls[1][-1] == "--resume" and calls[2][-1] == "--resume"
-    assert calls[1].count("--resume") == 1
+    # --resume must precede the positional KEY VALUE overrides (nargs=REMAINDER
+    # would swallow an appended flag into the override list; the live run_r
+    # restart at iter 2350 crashed on exactly that before the ordering fix)
+    for c in (calls[1], calls[2]):
+        assert c.count("--resume") == 1
+        assert c.index("--resume") < c.index("K")
