@@ -24,7 +24,8 @@ commit_stage() {  # commit_stage <run-name> <message>
 echo "[r5] starting source_only_s101 $(date)" >> "$LOG"
 timeout 7200 python scripts/run_accuracy_proxy.py --source-only --seed 101 \
     --out /root/repo/.proxy_runs/source_only_s101 >> "$LOG" 2>&1
-echo "[r5] === source_only_s101 done $(date) rc=$? ===" >> "$LOG"
+rc=$?
+echo "[r5] === source_only_s101 done $(date) rc=$rc ===" >> "$LOG"
 commit_stage source_only_s101 "run R stage 1: source_only_s101 curve (fresh init draw, seed 101)"
 
 W=/root/repo/.proxy_runs/source_only_s101/model_0003000
@@ -36,7 +37,8 @@ fi
 timeout 10800 python scripts/run_accuracy_proxy.py --ema-keep 0.999 --burn 200 \
     --weights "$W" --iters 3000 \
     --out /root/repo/.proxy_runs/run_r >> "$LOG" 2>&1
-echo "[r5] === run_r done $(date) rc=$? ===" >> "$LOG"
+rc=$?
+echo "[r5] === run_r done $(date) rc=$rc ===" >> "$LOG"
 commit_stage run_r "run R stage 2: reference-exact mutual run from the s101 draw"
 
 touch /root/repo/.proxy_runs/r5_pipeline.done

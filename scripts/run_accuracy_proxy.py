@@ -210,6 +210,13 @@ def archive_run(out_dir, archive_root=os.path.join(REPO, "docs", "proxy_runs")):
         tmp = os.path.join(dst, fname + ".tmp")
         with open(src, "rb") as f:
             data = f.read()
+        if fname == "metrics.json":
+            # the run may be mid-append: drop any trailing partial JSONL line
+            # so the mirrored file is always valid line-by-line
+            nl = data.rfind(b"\n")
+            data = data[:nl + 1] if nl >= 0 else b""
+            if not data:
+                continue
         out = os.path.join(dst, fname)
         # skip the write when unchanged so the tracked tree stays quiet
         if os.path.exists(out) and os.path.getsize(out) == len(data):
@@ -217,6 +224,15 @@ def archive_run(out_dir, archive_root=os.path.join(REPO, "docs", "proxy_runs")):
                 if f.read() == data:
                     copied = dst
                     continue
+        if (fname == "metrics.json" and os.path.exists(out)
+                and os.path.getsize(out) > len(data)):
+            # a fresh run reused this --out name: the mirror would SHRINK the
+            # tracked curve, destroying a possibly-uncommitted prior run —
+            # rotate the longer existing archive to a numbered suffix first
+            i = 1
+            while os.path.exists(f"{out}.{i}"):
+                i += 1
+            os.replace(out, f"{out}.{i}")
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, out)

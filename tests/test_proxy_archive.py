@@ -83,3 +83,36 @@ def test_archive_leaves_no_tmp_files(tmp_path):
     root = tmp_path / "archive"
     rap.archive_run(str(out), archive_root=str(root))
     assert not [p for p in (root / "run_x").iterdir() if p.name.endswith(".tmp")]
+
+
+def test_archive_drops_torn_trailing_line(tmp_path):
+    # a mirror tick can race train_net mid-append; the archived copy must end
+    # at the last complete JSONL line (ADVICE r4)
+    out = _mk_run(tmp_path, "run_x")
+    root = tmp_path / "archive"
+    with open(out / "metrics.json", "a") as f:
+        f.write('{"iteration": 500, "mAP')  # torn: no trailing newline
+    rap.archive_run(str(out), archive_root=str(root))
+    text = (root / "run_x" / "metrics.json").read_text()
+    rows = [json.loads(ln) for ln in text.splitlines()]  # all lines parse
+    assert [r["iteration"] for r in rows] == [250]
+    assert text.endswith("\n")
+
+
+def test_archive_refuses_to_shrink_rotates_prior_curve(tmp_path):
+    # rerunning under the same --out name must not destroy the longer
+    # uncommitted prior curve: it is rotated to a numbered suffix (ADVICE r4)
+    out = _mk_run(tmp_path, "run_x")
+    root = tmp_path / "archive"
+    with open(out / "metrics.json", "a") as f:
+        f.write(json.dumps({"iteration": 500, "mAP50": 61.2}) + "\n")
+    rap.archive_run(str(out), archive_root=str(root))
+    # fresh run reuses the name: near-empty metrics.json
+    (out / "metrics.json").write_text(json.dumps({"iteration": 20}) + "\n")
+    rap.archive_run(str(out), archive_root=str(root))
+    cur = [json.loads(ln) for ln in
+           (root / "run_x" / "metrics.json").read_text().splitlines()]
+    prior = [json.loads(ln) for ln in
+             (root / "run_x" / "metrics.json.1").read_text().splitlines()]
+    assert [r["iteration"] for r in cur] == [20]
+    assert [r["iteration"] for r in prior] == [250, 500]
