@@ -151,10 +151,20 @@ class PTrainer:
     # ------------------------------------------------------------------ hooks
     def build_hooks(self):
         """Default hook set; override or extend via register_hooks."""
-        from .hooks import (EvalHook, IterationTimer, PeriodicCheckpointer,
-                            PeriodicWriter, ProfilerHook)
+        from .hooks import (DivergenceGuardHook, EvalHook, IterationTimer,
+                            PeriodicCheckpointer, PeriodicWriter, ProfilerHook,
+                            TeacherHealthHook)
 
         hooks = [IterationTimer()]
+        # health guards go early in registration so their after_step runs
+        # AFTER PeriodicWriter/EvalHook (reverse order) and sees fresh values
+        if bool(self.cfg.UNSUPNET.ABORT_ON_NONFINITE):
+            hooks.append(DivergenceGuardHook())
+        pseudo_drop = float(self.cfg.UNSUPNET.HEALTH_PSEUDO_DROP)
+        map_drop = float(self.cfg.UNSUPNET.HEALTH_MAP_DROP)
+        if pseudo_drop > 0 or map_drop > 0:
+            hooks.append(TeacherHealthHook(int(self.cfg.TEST.EVAL_PERIOD),
+                                           pseudo_drop, map_drop))
         prof = self.cfg.PROFILER
         if prof.ENABLED:
             hooks.append(ProfilerHook(prof.START_STEP, prof.NUM_STEPS,

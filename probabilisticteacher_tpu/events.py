@@ -22,6 +22,7 @@ class EventStorage:
     def __init__(self, window: int = 20):
         self._history = defaultdict(lambda: deque(maxlen=window))
         self._latest: Dict[str, float] = {}
+        self._latest_iter: Dict[str, int] = {}
         self.iter = 0
 
     def put_scalars(self, **scalars):
@@ -29,9 +30,15 @@ class EventStorage:
             v = float(v)
             self._history[k].append(v)
             self._latest[k] = v
+            self._latest_iter[k] = self.iter
 
     def latest(self) -> Dict[str, float]:
         return dict(self._latest)
+
+    def iter_of(self, key: str) -> int:
+        """Iteration at which ``key`` was last written (-1 if never) — lets
+        consumers (health guards) distinguish a fresh value from a stale one."""
+        return self._latest_iter.get(key, -1)
 
     def medians(self) -> Dict[str, float]:
         out = {}

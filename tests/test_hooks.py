@@ -171,6 +171,176 @@ def test_best_checkpointer(tmp_path):
     assert not os.path.exists(os.path.join(out, "last_checkpoint"))
 
 
+def _mini_trainer(tmp_path):
+    """Minimal trainer stand-in for host-side hook logic."""
+    import jax.numpy as jnp
+
+    from probabilisticteacher_tpu.engine.steps import TrainState
+    from probabilisticteacher_tpu.events import EventStorage
+
+    out = str(tmp_path / "run")
+    os.makedirs(out, exist_ok=True)
+
+    class Cfg:
+        OUTPUT_DIR = out
+
+    class T:
+        cfg = Cfg()
+        storage = EventStorage()
+        iter = 0
+        writers = []
+        state = TrainState(step=jnp.asarray(0, jnp.int32),
+                           student={"w": np.zeros((2,), np.float32)},
+                           teacher={"w": np.zeros((2,), np.float32)}, opt_state={})
+
+    return T()
+
+
+def test_divergence_guard_raises_on_nonfinite_loss(tmp_path):
+    """Reference parity: a non-finite total loss aborts the run with
+    FloatingPointError (detectron2 _write_metrics via pt/engine/trainer.py:
+    394-429) instead of silently burning the 30k-iter budget."""
+    from probabilisticteacher_tpu.engine.hooks import DivergenceGuardHook
+
+    t = _mini_trainer(tmp_path)
+    h = DivergenceGuardHook()
+    h.trainer = t
+
+    h.after_step()                        # nothing written yet -> no-op
+    t.storage.iter = 20
+    t.storage.put_scalars(total_loss=1.5)
+    t.iter = 21
+    h.after_step()                        # finite -> passes
+
+    t.storage.iter = 40
+    t.storage.put_scalars(total_loss=float("nan"))
+    t.iter = 41
+    with pytest.raises(FloatingPointError, match="iteration 40"):
+        h.after_step()
+
+    # +inf diverges too
+    t2 = _mini_trainer(tmp_path)
+    h2 = DivergenceGuardHook()
+    h2.trainer = t2
+    t2.storage.iter = 20
+    t2.storage.put_scalars(total_loss=float("inf"))
+    with pytest.raises(FloatingPointError):
+        h2.after_step()
+
+
+def test_divergence_guard_checks_each_write_once(tmp_path):
+    """A stale (already-checked) value is not re-fetched or re-raised —
+    freshness is tracked via EventStorage.iter_of."""
+    from probabilisticteacher_tpu.engine.hooks import DivergenceGuardHook
+
+    t = _mini_trainer(tmp_path)
+    h = DivergenceGuardHook()
+    h.trainer = t
+    t.storage.iter = 20
+    t.storage.put_scalars(total_loss=2.0)
+    h.after_step()
+    assert h._checked_iter == 20
+    for t.iter in (21, 22, 23):          # no new writes -> no new checks
+        h.after_step()
+    assert h._checked_iter == 20
+
+
+def test_teacher_health_pseudo_cliff(tmp_path):
+    """>50% drop of num_pseudo_boxes below its trailing median flags the run,
+    writes health/collapse_flag, and saves a one-time forensic checkpoint."""
+    from probabilisticteacher_tpu.engine.hooks import TeacherHealthHook
+
+    t = _mini_trainer(tmp_path)
+    h = TeacherHealthHook(eval_period=0, pseudo_drop=0.5, map_drop=0.0,
+                          min_history=5)
+    h.trainer = t
+
+    for i, v in enumerate([20.0, 22.0, 21.0, 19.0, 20.0, 21.0]):
+        t.storage.iter = 20 * (i + 1)
+        t.storage.put_scalars(num_pseudo_boxes=v)
+        t.iter = t.storage.iter + 1
+        h.after_step()
+    assert "health/collapse_flag" not in t.storage.latest()
+
+    t.storage.iter = 200
+    t.storage.put_scalars(num_pseudo_boxes=4.0)   # cliff: 80% below median 20
+    t.iter = 201
+    h.after_step()
+    assert t.storage.latest()["health/collapse_flag"] == 1.0
+    assert os.path.exists(os.path.join(t.cfg.OUTPUT_DIR, "model_health"))
+
+    # second trigger: flag again but no second checkpoint churn
+    mt0 = os.path.getmtime(os.path.join(t.cfg.OUTPUT_DIR, "model_health"))
+    t.storage.iter = 220
+    t.storage.put_scalars(num_pseudo_boxes=3.0)
+    t.iter = 221
+    h.after_step()
+    assert os.path.getmtime(
+        os.path.join(t.cfg.OUTPUT_DIR, "model_health")) == mt0
+
+
+def test_teacher_health_map_drop(tmp_path):
+    """Teacher mAP50 falling >threshold points between consecutive evals
+    triggers the collapse flag (the round-4 signature: 64.8 -> 28.5)."""
+    from probabilisticteacher_tpu.engine.hooks import TeacherHealthHook
+
+    t = _mini_trainer(tmp_path)
+    h = TeacherHealthHook(eval_period=10, pseudo_drop=0.0, map_drop=15.0)
+    h.trainer = t
+
+    t.storage.iter = 9
+    t.storage.put_scalars(mAP50=64.8)
+    t.iter = 9                            # eval fired at (9+1) % 10 == 0
+    h.after_step()
+    assert "health/collapse_flag" not in t.storage.latest()
+
+    t.storage.iter = 19
+    t.storage.put_scalars(mAP50=60.0)     # -4.8: within tolerance
+    t.iter = 19
+    h.after_step()
+    assert "health/collapse_flag" not in t.storage.latest()
+
+    t.storage.iter = 29
+    t.storage.put_scalars(mAP50=28.5)     # -31.5: collapse
+    t.iter = 29
+    h.after_step()
+    assert t.storage.latest()["health/collapse_flag"] == 1.0
+
+
+def test_health_hooks_registered_by_default(tmp_path):
+    """build_hooks wires both guards in by default, ahead of the writer so
+    their after_step sees fresh values (reverse-order execution)."""
+    from test_e2e import micro_cfg
+
+    root = str(tmp_path / "voc")
+    make_voc_dataset(os.path.join(root, "src"), "train", num_images=4, seed=0)
+    make_voc_dataset(os.path.join(root, "tgt"), "train", num_images=4, seed=1)
+    make_voc_dataset(os.path.join(root, "val"), "val", num_images=2, seed=2)
+    register_pascal_voc("hh_l", os.path.join(root, "src"), "train", CLASSES)
+    register_pascal_voc("hh_u", os.path.join(root, "tgt"), "train", CLASSES)
+    register_pascal_voc("hh_v", os.path.join(root, "val"), "val", CLASSES)
+    cfg = micro_cfg(str(tmp_path), "hh_l", "hh_u", "hh_v")
+    cfg.freeze()
+
+    from probabilisticteacher_tpu.engine.trainer import PTrainer
+
+    trainer = PTrainer(cfg)
+    kinds = [type(h).__name__ for h in trainer._hooks]
+    assert "DivergenceGuardHook" in kinds and "TeacherHealthHook" in kinds
+    assert kinds.index("DivergenceGuardHook") < kinds.index("PeriodicWriter")
+    assert kinds.index("TeacherHealthHook") < kinds.index("EvalHook")
+
+    # opting out removes them
+    cfg2 = micro_cfg(str(tmp_path), "hh_l", "hh_u", "hh_v")
+    cfg2.UNSUPNET.ABORT_ON_NONFINITE = False
+    cfg2.UNSUPNET.HEALTH_PSEUDO_DROP = 0.0
+    cfg2.UNSUPNET.HEALTH_MAP_DROP = 0.0
+    cfg2.freeze()
+    kinds2 = [type(h).__name__ for h in PTrainer(cfg2)._hooks]
+    assert "DivergenceGuardHook" not in kinds2
+    assert "TeacherHealthHook" not in kinds2
+
+
 def test_memory_guard_hook(tmp_path):
     """Above the RSS limit: checkpoint written, SystemExit(75) raised."""
     import jax.numpy as jnp
