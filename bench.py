@@ -172,23 +172,27 @@ def bench_e2e(batch: int, iters: int, data_root: str):
         os.path.join(data_root, "data/VOC2007_foggytrain"), "train", CLASS_NAMES_8)
 
     trainer = PTrainer(cfg)
-    loader_iter = iter(SemiSupLoader(cfg, label, unlabel, seed=0))
+    # the production input path: loader -> DevicePrefetcher (batch N+1 uploads
+    # while step N runs) -> fused step
+    batch_iter = trainer.make_batch_iterator(iter(SemiSupLoader(cfg, label, unlabel, seed=0)))
 
     trainer.iter = 0
-    trainer.run_step(loader_iter)  # compile
+    trainer.run_step(batch_iter)  # compile
     float(trainer.pending_metrics["total_loss"])
     t0 = time.perf_counter()
     data_t = 0.0
     prev = None
     for i in range(iters):
         trainer.iter = i + 1
-        trainer.run_step(loader_iter)
+        trainer.run_step(batch_iter)
         data_t += trainer.last_data_time
         if prev is not None:
             float(prev)
         prev = trainer.pending_metrics["total_loss"]
     float(prev)
     dt = (time.perf_counter() - t0) / iters
+    if hasattr(batch_iter, "close"):
+        batch_iter.close()
     n_chips = jax.device_count()
     value = 4 * batch / dt / n_chips
     out = {

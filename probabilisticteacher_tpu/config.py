@@ -270,6 +270,10 @@ def get_cfg() -> CfgNode:
     c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
     # TPU-native addition: native C++ decode/resize path (csrc/ptloader.cpp)
     c.DATALOADER.NATIVE = True
+    # device-prefetch queue depth: batch N+1 uploads to device on a background
+    # thread while step N runs (parallel/prefetch.py); costs HBM for this many
+    # extra batches. 0 = synchronous upload (the pre-r5 behavior).
+    c.DATALOADER.DEVICE_PREFETCH = 2
 
     # ----------------------------- SOLVER ----------------------------------
     c.SOLVER = CfgNode()

@@ -223,43 +223,88 @@ class PTrainer:
             logger.info(f"Loaded weights from {weights}")
 
     # ------------------------------------------------------------------ train
-    def run_step(self, loader_iter):
-        """One training iteration: load -> shard -> fused jitted step.
+    def _shard_for_iter(self, batch: Dict, it: int) -> Dict:
+        """Host batch -> device-resident structures for iteration ``it``.
 
-        Metrics stay on device (``pending_metrics``); PeriodicWriter fetches
-        them one step later so the host transfer overlaps the next step.
+        The unlabeled stream is uploaded only for mutual-phase iterations
+        (burn-in consumes labeled data only, ``pt/engine/trainer.py:274-288``);
+        the host arrays are kept alongside so a phase mismatch can be healed
+        by an on-demand upload (run_step).
         """
-        t0 = time.perf_counter()
-        batch = next(loader_iter)
-        self.last_data_time = time.perf_counter() - t0
-
         limg = ImageBatch(batch["label"]["image"], batch["label"]["image_hw"])
         lgt = GroundTruth(batch["label"]["gt_boxes"],
                           batch["label"]["gt_classes"].astype(np.int32),
                           batch["label"]["gt_valid"])
-        limg = shard_batch(self.mesh, limg)
-        lgt = shard_batch(self.mesh, lgt)
+        out = {"limg": shard_batch(self.mesh, limg),
+               "lgt": shard_batch(self.mesh, lgt),
+               "host_unlabel": batch["unlabel"]}
+        if it >= self.burn_up:
+            uimg = ImageBatch(batch["unlabel"]["image"], batch["unlabel"]["image_hw"])
+            out["uimg"] = shard_batch(self.mesh, uimg)
+        return out
+
+    def make_batch_iterator(self, loader_iter):
+        """Wrap a host loader iterator in the device prefetcher: batch N+1
+        uploads on a background thread while step N runs (VERDICT r4 Weak #1 —
+        the synchronous shard_batch inside run_step serialized a ~0.4 s upload
+        against a ~0.35 s step and halved e2e throughput).
+
+        ``DATALOADER.DEVICE_PREFETCH`` is the queue depth (device memory for
+        that many extra batches); 0 disables the overlap (synchronous path).
+        """
+        from ..parallel import DevicePrefetcher
+
+        depth = int(self.cfg.DATALOADER.DEVICE_PREFETCH)
+        if depth <= 0:
+            return loader_iter
+        return DevicePrefetcher(loader_iter, self._shard_for_iter,
+                                start_iter=self.start_iter, depth=depth)
+
+    def run_step(self, batch_iter):
+        """One training iteration: (pre-uploaded) batch -> fused jitted step.
+
+        Accepts either a DevicePrefetcher (device-resident batches, the
+        ``train()`` path) or a raw host-batch iterator (tests/tools); host
+        batches are sharded synchronously here. Metrics stay on device
+        (``pending_metrics``); PeriodicWriter fetches them one step later so
+        the host transfer overlaps the next step.
+        """
+        t0 = time.perf_counter()
+        batch = next(batch_iter)
+        self.last_data_time = time.perf_counter() - t0
+
+        if "limg" not in batch:  # host batch: legacy synchronous path
+            batch = self._shard_for_iter(batch, self.iter)
+        limg, lgt = batch["limg"], batch["lgt"]
 
         if self.iter < self.burn_up:
             self.state, metrics = self.burnin_step(self.state, limg, lgt, self._base_rng)
         else:
-            uimg = ImageBatch(batch["unlabel"]["image"], batch["unlabel"]["image_hw"])
-            uimg = shard_batch(self.mesh, uimg)
+            uimg = batch.get("uimg")
+            if uimg is None:
+                # phase mismatch (e.g. burn_up changed between prefetch and
+                # consumption): heal with an on-demand upload
+                hu = batch["host_unlabel"]
+                uimg = shard_batch(self.mesh, ImageBatch(hu["image"], hu["image_hw"]))
             self.state, metrics = self.mutual_step(self.state, limg, lgt, uimg, self._base_rng)
         self.pending_metrics = metrics
 
     def train(self):
-        loader_iter = iter(self.build_train_loader())
+        batch_iter = self.make_batch_iterator(iter(self.build_train_loader()))
         for h in self._hooks:
             h.before_train()
-        for it in range(self.start_iter, self.max_iter):
-            self.iter = it
-            self.storage.iter = it
-            for h in self._hooks:
-                h.before_step()
-            self.run_step(loader_iter)
-            for h in reversed(self._hooks):
-                h.after_step()
+        try:
+            for it in range(self.start_iter, self.max_iter):
+                self.iter = it
+                self.storage.iter = it
+                for h in self._hooks:
+                    h.before_step()
+                self.run_step(batch_iter)
+                for h in reversed(self._hooks):
+                    h.after_step()
+        finally:
+            if hasattr(batch_iter, "close"):
+                batch_iter.close()
         for h in reversed(self._hooks):
             h.after_train()
 
