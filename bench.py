@@ -230,7 +230,7 @@ def run_worker(args):
         iters, n_windows, max_windows = args.iters, args.windows, args.windows + 4
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     rtt_ms, matmul_ms = (0.0, 0.0) if args.smoke else probe_tunnel()
     if rtt_ms:
@@ -469,7 +469,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         return bench_e2e(args.batch or 8, args.iters, args.data_root)
     if args.smoke or args.worker:
         return run_worker(args)

