@@ -22,11 +22,25 @@ export JAX_DEBUG_LOG_MODULES=jax._src.compilation_cache
 
 say() { echo "[r5c] $* -- $(date)" >> "$LOG"; }
 
+# Deadline: stop launching NEW stages after this epoch so the chip is free for
+# the driver's end-of-round bench run (CAMPAIGN_DEADLINE env, default +inf).
+DEADLINE=${CAMPAIGN_DEADLINE:-9999999999}
+
 wait_if_paused() {
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    say "deadline passed; stopping before the next stage"
+    touch /root/repo/.proxy_runs/r5_campaign.done
+    exit 0
+  fi
   while [ -e /root/repo/.proxy_runs/PAUSE ]; do
     say "paused (rm .proxy_runs/PAUSE to continue)"
     sleep 60
   done
+}
+
+stage_budget() {  # stage_budget <wanted-secs> -> min(wanted, time-to-deadline)
+  local want=$1 left=$(( DEADLINE - $(date +%s) ))
+  if [ "$left" -lt "$want" ]; then echo "$left"; else echo "$want"; fi
 }
 
 commit_stage() {  # commit_stage <run-name> <message>
@@ -60,7 +74,7 @@ source_only() {  # source_only <seed> [extra run_accuracy_proxy args...]
   local name=source_only_s$seed
   wait_if_paused
   say "start $name"
-  timeout 7200 python scripts/run_accuracy_proxy.py --source-only --seed "$seed" \
+  timeout "$(stage_budget 7200)" python scripts/run_accuracy_proxy.py --source-only --seed "$seed" \
       "$@" --out /root/repo/.proxy_runs/"$name" >> "$LOG" 2>&1
   local rc=$?
   say "=== $name done rc=$rc ==="
@@ -72,7 +86,7 @@ mutual() {  # mutual <name> <weights-dir> [extra args...]
   if [ ! -d "$w" ]; then say "SKIP $name: no checkpoint at $w"; return 1; fi
   wait_if_paused
   say "start $name"
-  timeout 10800 python scripts/run_accuracy_proxy.py --ema-keep 0.999 --burn 200 \
+  timeout "$(stage_budget 10800)" python scripts/run_accuracy_proxy.py --ema-keep 0.999 --burn 200 \
       --weights "$w" --iters 3000 "$@" \
       --out /root/repo/.proxy_runs/"$name" >> "$LOG" 2>&1
   local rc=$?
