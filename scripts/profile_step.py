@@ -85,7 +85,24 @@ def parse_xplane(tracedir, topn=40, iters=1, detail=False):
                             rec[name] = str(val)
                     op_stats[(cat, key)] = rec
     total = sum(by_cat.values())
-    print(f"\n== device time by HLO category (total {total*1e3/iters:.1f} ms/iter) ==")
+    # Relayout attribution (VERDICT r4 Next #5): everything XLA spends moving
+    # bytes without computing — copies, transposes, reshapes, converts,
+    # bitcasts and fusions thereof — summed and itemized, so "the relayouts
+    # are already free" (or not) is a printed number, not a guess.
+    import re
+
+    relayout_pat = re.compile(r"copy|transpose|reshape|bitcast|convert",
+                              re.IGNORECASE)
+    relayout_cats = {c for c in by_cat
+                     if relayout_pat.search(c) or c in ("data formatting",)}
+    rel_ops = [((c, op), t) for (c, op), t in by_op.items()
+               if c in relayout_cats or relayout_pat.search(op)]
+    rel_total = sum(t for _, t in rel_ops)
+    print(f"\n== relayout attribution: {rel_total*1e3/iters:.2f} ms/iter "
+          f"({100*rel_total/max(total,1e-12):.1f}% of device) ==")
+    for (cat, op), t in sorted(rel_ops, key=lambda kv: -kv[1])[:20]:
+        n = op_count[(cat, op)]
+        print(f"  {t*1e3/iters:9.3f} ms  x{n//iters:<5d} [{cat}] {op[:100]}")
     for cat, t in by_cat.most_common():
         print(f"  {cat:35s} {t*1e3/iters:9.2f} ms  ({100*t/total:5.1f}%)")
     print(f"\n== top {topn} ops ==")

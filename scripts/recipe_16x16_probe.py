@@ -27,6 +27,10 @@ import time
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "plain"
 assert MODE in ("plain", "remat", "fused_bwd", "both"), MODE
+# Fallback decomposition (the 16+16 compile crashes the remote compile
+# helper — HTTP 500, see DESIGN.md round 5): measure the levers at a batch
+# that DOES compile and extrapolate the activation-linear parts.
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
 if MODE in ("fused_bwd", "both"):
     os.environ["PT_ROIALIGN_FUSED_BWD"] = "1"
@@ -36,8 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if not os.environ.get("PT_PROBE_NO_CACHE"):  # isolate compile-helper crashes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def build(remat: bool):
@@ -50,7 +55,7 @@ def build(remat: bool):
     from probabilisticteacher_tpu.solver import build_optimizer
     from probabilisticteacher_tpu.structures import GroundTruth, ImageBatch
 
-    batch, canvas = 16, (608, 1216)
+    batch, canvas = BATCH, (608, 1216)
     cfg = get_cfg()
     cfg.merge_from_file("/root/repo/configs/pt/final_c2f.yaml")
     cfg.MODEL.VGG.PRETRAIN = ""
@@ -82,7 +87,7 @@ def build(remat: bool):
              shard_batch(mesh, imgs())))
 
 
-out = {"mode": MODE, "batch": "16+16", "canvas": [608, 1216]}
+out = {"mode": MODE, "batch": f"{BATCH}+{BATCH}", "canvas": [608, 1216]}
 try:
     mutual, state, (limg, lgt, uimg) = build(remat=MODE in ("remat", "both"))
     key = jax.random.key(0)
@@ -119,7 +124,7 @@ try:
     float(prev)
     dt = (time.perf_counter() - t0) / iters
     out["step_s"] = round(dt, 3)
-    out["img_per_s"] = round(4 * 16 / dt, 2)  # 2 student + 1 teacher + strong-aug: 4x convention of bench.py
+    out["img_per_s"] = round(4 * BATCH / dt, 2)  # 2 student + 1 teacher + strong-aug: 4x convention of bench.py
     out["fits"] = True
 except Exception as e:  # noqa: BLE001 — report OOM shortfall
     msg = str(e)
