@@ -191,7 +191,14 @@ def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
     dtype + double-buffered g/out blocks. Bigger rb raises the h-contraction's
     K (= rb*p) and with it MXU utilization; w-chunking bounds d_tmp (w is the
     MAJOR axis of the (w, c) minor pair, so both the wx slice and the acc
-    update stay contiguous)."""
+    update stay contiguous).
+
+    The budget is tunable (PT_ROIALIGN_BWD_VMEM_MB, default 14 of the ~16 MB
+    VMEM/core): the original 13 MB cap rejected the production 38x76x512
+    gradient shape by 0.7% (rb=8/nw=4 needs 13.09 MB), silently turning the
+    PT_ROIALIGN_FUSED_BWD memory lever into an einsum no-op — caught round 5
+    when the 'fused' probe produced a byte-identical executable to plain."""
+    budget = float(_os.environ.get("PT_ROIALIGN_BWD_VMEM_MB", "14"))
     acc = h * w * c * 4
     for rb in (16, 8):
         if r % rb:
@@ -202,7 +209,7 @@ def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
             d_tmp = rb * p * (w // nw) * c * 2
             gblk = 2 * rb * p * p * c * 2
             outblk = 2 * h * w * c * 2
-            if acc + d_tmp + gblk + outblk < 13 * 1024 * 1024:
+            if acc + d_tmp + gblk + outblk < budget * 1024 * 1024:
                 return rb, nw
     return 0, 0
 

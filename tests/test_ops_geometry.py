@@ -315,6 +315,47 @@ class TestROIAlignPallas:
         np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_mxu),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_fused_backward_plan_covers_production_shapes(self):
+        """Regression (round 5): the PRODUCTION gradient shapes must be
+        kernel-eligible, else PT_ROIALIGN_FUSED_BWD silently no-ops into the
+        einsum fallback (the original 13 MB VMEM budget rejected 38x76x512 by
+        0.7% and the 'fused' probe produced a byte-identical executable to
+        plain). Both recipe canvases, the student ROI budget, and the teacher
+        keep-count must plan a kernel, and the planned buffers must respect
+        the ~16 MB VMEM ceiling."""
+        from probabilisticteacher_tpu.ops import roi_align_pallas as rap
+
+        for (h, w) in ((38, 76), (76, 38)):           # 608x1216 / 1216x608 @ s16
+            for r in (512, 2000):                     # student budget / teacher keep
+                rb, nw = rap._bwd_plan(r, 7, h, w, 512)
+                assert rb > 0, f"einsum no-op at production shape {(r, h, w)}"
+                acc = h * w * 512 * 4
+                d_tmp = rb * 7 * (w // nw) * 512 * 2
+                gblk = 2 * rb * 7 * 7 * 512 * 2
+                outblk = 2 * h * w * 512 * 2
+                assert acc + d_tmp + gblk + outblk < 15.5 * 1024 * 1024
+
+    def test_fused_backward_parity_at_production_feature_shape(self):
+        """Interpret-mode kernel-vs-einsum parity at the production FEATURE
+        shape (38, 76, 512) bf16 — the shape class the old plan never
+        exercised (r kept small for CPU interpret speed; eligibility depends
+        on (p, h, w, c), not r beyond divisibility)."""
+        from probabilisticteacher_tpu.ops import roi_align_pallas as rap
+
+        rng = np.random.RandomState(11)
+        n, r, h, w, c, p = 1, 16, 38, 76, 512, 7
+        assert rap._bwd_plan(r, p, h, w, c)[0] > 0
+        feat = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32)).astype(jnp.bfloat16)
+        rois = jnp.asarray(rng.uniform(0, 600, (n, r, 4)).astype(np.float32))
+        rois = rois.at[..., 2:].set(rois[..., :2] + rng.uniform(30, 400, (n, r, 2)))
+        ct = jnp.asarray(rng.randn(n, r, p, p, c).astype(np.float32)).astype(jnp.bfloat16)
+        wy, wx = rap._pool_matrices(feat.shape, rois, 1.0 / 16, p, 2, feat.dtype)
+        df_kernel = rap._bwd_pallas(wy, wx, ct, interpret=True)
+        df_einsum = rap._bwd_einsum(wy, wx, ct)
+        np.testing.assert_allclose(
+            np.asarray(df_kernel, np.float32), np.asarray(df_einsum, np.float32),
+            rtol=0.05, atol=0.05)  # bf16 accumulation-order tolerance
+
 
 class TestNMSStress:
     def test_long_suppression_chains(self):
