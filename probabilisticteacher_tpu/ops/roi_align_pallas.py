@@ -216,19 +216,25 @@ def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
 
 def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
                 *, p: int, nw: int):
-    """wyt (1, H, RB*p), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out (1, H, W*C).
+    """wyt (1, RB*p, H), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out (1, H, W*C).
 
     Per ROI block and w-chunk: d_tmp[(r, q), (w-chunk, c)] = wxt_r-chunk @
     g[r, q] (the x-interp backward, one small dot per (r, q)), then
-    acc[h, (w-chunk, c)] += wyt_block @ d_tmp — one MXU dot with K = RB*p.
+    acc[h, (w-chunk, c)] += wyt_block.T @ d_tmp — one MXU dot with K = RB*p
+    (contraction on axis 0 of both; Mosaic fuses the transpose into the
+    matmul). wyt is laid out ROI-major like the forward's wy so its block
+    (1, RB*p, H) tiles legally: RB*p is 8-divisible by the _bwd_plan
+    constraint and H spans the full minor dim — the earlier (1, H, RB*p)
+    layout put RB*p (= 56 at production shapes) in the 128-lane minor dim,
+    which Mosaic rejects at lowering.
     acc lives in f32 scratch across the ROI-block grid; the final block writes
     it out in the feature dtype. No HBM intermediate (the XLA einsum fallback
     materializes a multi-GB (N, R, x, H, C) tensor).
     """
     i = pl.program_id(1)
     nblk = pl.num_programs(1)
-    h = wyt_ref.shape[1]
-    rbp = wyt_ref.shape[2]
+    h = wyt_ref.shape[2]
+    rbp = wyt_ref.shape[1]
     rb = wxt_ref.shape[1]
     w = wxt_ref.shape[2]
     c = g_ref.shape[2] // p
@@ -246,8 +252,10 @@ def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
                 d = jnp.dot(wxr, g_ref[0, r * p + q].reshape(p, c),
                             preferred_element_type=jnp.float32)
                 d_ref[r * p + q] = d.reshape(wch * c).astype(d_ref.dtype)
-        upd = jnp.dot(wyt_ref[0], d_ref[:, :],
-                      preferred_element_type=jnp.float32)       # (H, wch*C)
+        upd = jax.lax.dot_general(
+            wyt_ref[0], d_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (H, wch*C)
         sl = slice(wj * wch * c, (wj + 1) * wch * c)
         acc_ref[:, sl] = acc_ref[:, sl] + upd
 
@@ -263,14 +271,14 @@ def _bwd_pallas(wy, wx, g, interpret=False):
     rb, nw = _bwd_plan(r, p, h, w, c)
     if rb == 0:
         return _bwd_einsum(wy, wx, g)
-    wyt = wy.transpose(0, 3, 1, 2).reshape(n, h, r * p)   # (n, H, R*p)
+    wyt = wy.reshape(n, r * p, h)                         # (n, R*p, H)
     wxt = wx.transpose(0, 1, 3, 2)                        # (n, R, W, p)
     gflat = g.astype(wy.dtype).reshape(n, r * p, p * c)
     out = pl.pallas_call(
         partial(_bwd_kernel, p=p, nw=nw),
         grid=(n, r // rb),
         in_specs=[
-            pl.BlockSpec((1, h, rb * p), lambda ni, i: (ni, 0, i)),
+            pl.BlockSpec((1, rb * p, h), lambda ni, i: (ni, i, 0)),
             pl.BlockSpec((1, rb, w, p), lambda ni, i: (ni, i, 0, 0)),
             pl.BlockSpec((1, rb * p, p * c), lambda ni, i: (ni, i, 0)),
         ],

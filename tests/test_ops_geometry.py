@@ -335,6 +335,39 @@ class TestROIAlignPallas:
                 outblk = 2 * h * w * 512 * 2
                 assert acc + d_tmp + gblk + outblk < 15.5 * 1024 * 1024
 
+    def test_fused_backward_blocks_tile_legally(self):
+        """Regression (round 5, on-chip): Mosaic requires each block's minor
+        dim to be 128-divisible OR span the full array dim, and the
+        second-minor to be 8-divisible OR span the full dim. The original
+        backward fed wyt as (n, H, R*p) whose block (1, 38, 56) put the
+        56-wide ROI-block axis in the lane-minor slot — interpret-mode tests
+        passed but the real TPU lowering rejected it ("last two dimensions of
+        your block shape [must be] divisible by 8 and 128"). The kernel now
+        uses the forward's ROI-major (n, R*p, H) layout; this pins the tiling
+        rule for every block spec at every production shape so a future plan
+        change cannot silently regress to an unloweable spec."""
+        from probabilisticteacher_tpu.ops import roi_align_pallas as rap
+
+        def legal(block, full):
+            b2, b1 = block[-2:]
+            f2, f1 = full[-2:]
+            return (b1 % 128 == 0 or b1 == f1) and (b2 % 8 == 0 or b2 == f2)
+
+        p, c = 7, 512
+        for (h, w) in ((38, 76), (76, 38)):
+            for r in (512, 2000):
+                rb, nw = rap._bwd_plan(r, p, h, w, c)
+                assert rb > 0
+                # (block shape, full array shape) as _bwd_pallas constructs them
+                specs = [
+                    ((1, rb * p, h), (1, r * p, h)),        # wyt (ROI-major)
+                    ((1, rb, w, p), (1, r, w, p)),          # wxt
+                    ((1, rb * p, p * c), (1, r * p, p * c)),  # g
+                    ((1, h, w * c), (1, h, w * c)),         # out
+                ]
+                for block, full in specs:
+                    assert legal(block, full), (block, full, (h, w, r))
+
     def test_fused_backward_parity_at_production_feature_shape(self):
         """Interpret-mode kernel-vs-einsum parity at the production FEATURE
         shape (38, 76, 512) bf16 — the shape class the old plan never
