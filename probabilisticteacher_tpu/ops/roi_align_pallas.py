@@ -187,54 +187,71 @@ def _bwd_einsum(wy, wx, g):
 def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
     """(rb, n_wchunks) for the fused backward; (0, 0) -> einsum fallback.
 
-    VMEM budget: f32 accumulator (h, w*c) + d_tmp (rb*p, wch*c) in the feature
-    dtype + double-buffered g/out blocks. Bigger rb raises the h-contraction's
-    K (= rb*p) and with it MXU utilization; w-chunking bounds d_tmp (w is the
-    MAJOR axis of the (w, c) minor pair, so both the wx slice and the acc
-    update stay contiguous).
+    The w-chunk loop lives in the GRID (grid = (n, nw, r // rb)), so every
+    w-sized buffer — the f32 accumulator, the f32 dot-output temporary, the
+    d_tmp intermediate, and the double-buffered out block — is per-chunk
+    (wch = w // nw), not full-w. Round-5 history: the first budget (13 MB)
+    silently rejected the production 38x76x512 shape (einsum no-op); raising
+    it to 14 MB exposed an illegal block tiling; fixing THAT exposed a real
+    VMEM overflow at compile — the in-kernel w-loop version needs a full-w
+    f32 accumulator + full-w out block (11.3 MB alone at production shapes)
+    plus an unbudgeted f32 dot-output temporary, which lands over the ~16 MB
+    core budget and crashes the compile helper. Chunking via the grid
+    shrinks all four to wch-size at the cost of re-streaming the g/wyt
+    blocks nw times from HBM (g = 25.7 MB/image/extra-pass at the student
+    shape — HBM traffic, not VMEM).
 
-    The budget is tunable (PT_ROIALIGN_BWD_VMEM_MB, default 14 of the ~16 MB
-    VMEM/core): the original 13 MB cap rejected the production 38x76x512
-    gradient shape by 0.7% (rb=8/nw=4 needs 13.09 MB), silently turning the
-    PT_ROIALIGN_FUSED_BWD memory lever into an einsum no-op — caught round 5
-    when the 'fused' probe produced a byte-identical executable to plain."""
-    budget = float(_os.environ.get("PT_ROIALIGN_BWD_VMEM_MB", "14"))
-    acc = h * w * c * 4
-    for rb in (16, 8):
-        if r % rb:
+    Budget model (all per-chunk, upd INCLUDED this time), tunable via
+    PT_ROIALIGN_BWD_VMEM_MB (default 13 of the ~16 MB VMEM/core). Prefer the
+    smallest nw (fewest re-stream passes), then the largest rb (the
+    h-contraction's K = rb*p drives MXU occupancy)."""
+    budget = float(_os.environ.get("PT_ROIALIGN_BWD_VMEM_MB", "13"))
+    for nw in (1, 2, 4):
+        if w % nw:
             continue
-        for nw in (2, 4, 1):
-            if w % nw:
+        wch = w // nw
+        acc = h * wch * c * 4
+        upd = h * wch * c * 4                  # the dot-output temporary
+        outblk = 2 * h * wch * c * 2
+        for rb in (16, 8):
+            if r % rb:
                 continue
-            d_tmp = rb * p * (w // nw) * c * 2
+            d_tmp = rb * p * wch * c * 2
             gblk = 2 * rb * p * p * c * 2
-            outblk = 2 * h * w * c * 2
-            if acc + d_tmp + gblk + outblk < budget * 1024 * 1024:
+            wyblk = 2 * rb * p * max(h, 8) * 2
+            wxblk = 2 * rb * max(w, 8) * p * 2
+            total = acc + upd + outblk + d_tmp + gblk + wyblk + wxblk
+            if total < budget * 1024 * 1024:
                 return rb, nw
     return 0, 0
 
 
 def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
                 *, p: int, nw: int):
-    """wyt (1, RB*p, H), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out (1, H, W*C).
+    """wyt (1, RB*p, H), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out
+    (1, H, wch*C), on grid (N, nw, R // RB) — ROI blocks innermost.
 
-    Per ROI block and w-chunk: d_tmp[(r, q), (w-chunk, c)] = wxt_r-chunk @
-    g[r, q] (the x-interp backward, one small dot per (r, q)), then
-    acc[h, (w-chunk, c)] += wyt_block.T @ d_tmp — one MXU dot with K = RB*p
-    (contraction on axis 0 of both; Mosaic fuses the transpose into the
-    matmul). wyt is laid out ROI-major like the forward's wy so its block
-    (1, RB*p, H) tiles legally: RB*p is 8-divisible by the _bwd_plan
-    constraint and H spans the full minor dim — the earlier (1, H, RB*p)
-    layout put RB*p (= 56 at production shapes) in the 128-lane minor dim,
-    which Mosaic rejects at lowering.
-    acc lives in f32 scratch across the ROI-block grid; the final block writes
-    it out in the feature dtype. No HBM intermediate (the XLA einsum fallback
-    materializes a multi-GB (N, R, x, H, C) tensor).
+    Per grid step (one ROI block, one w-chunk): d_tmp[(r, q), (wch, c)] =
+    wxt_r[w-chunk] @ g[r, q] (the x-interp backward, one small dot per
+    (r, q)), then acc[h, (wch, c)] += wyt_block.T @ d_tmp — one MXU dot with
+    K = RB*p (contraction on axis 0 of both; Mosaic fuses the transpose into
+    the matmul). wyt is laid out ROI-major like the forward's wy so its
+    block (1, RB*p, H) tiles legally: RB*p is 8-divisible by plan
+    construction and H spans the full minor dim.
+
+    The w-chunk index is a GRID dim (not an in-kernel loop) so the f32
+    accumulator, the f32 dot output, d_tmp, and the out block are all
+    wch-sized — the full-w variant overflowed the ~16 MB VMEM core budget at
+    production shapes and crashed the compiler. wxt stays full-w per block
+    (it is KB-sized) and the chunk is dynamic-sliced from it, keeping its
+    block spec legal (w spans the full dim). acc lives in f32 scratch across
+    the ROI-block grid dim; the final ROI block writes it out in the feature
+    dtype. No HBM intermediate (the XLA einsum fallback materializes a
+    multi-GB (N, R, x, H, C) tensor).
     """
-    i = pl.program_id(1)
-    nblk = pl.num_programs(1)
-    h = wyt_ref.shape[2]
-    rbp = wyt_ref.shape[1]
+    wj = pl.program_id(1)
+    i = pl.program_id(2)
+    nblk = pl.num_programs(2)
     rb = wxt_ref.shape[1]
     w = wxt_ref.shape[2]
     c = g_ref.shape[2] // p
@@ -244,20 +261,18 @@ def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    for wj in range(nw):
-        for r in range(rb):
-            wxr = wxt_ref[0, r, wj * wch:(wj + 1) * wch]       # (wch, p)
-            for q in range(p):
-                # x-interp backward: (wch, p_x) @ (p_x, C)
-                d = jnp.dot(wxr, g_ref[0, r * p + q].reshape(p, c),
-                            preferred_element_type=jnp.float32)
-                d_ref[r * p + q] = d.reshape(wch * c).astype(d_ref.dtype)
-        upd = jax.lax.dot_general(
-            wyt_ref[0], d_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (H, wch*C)
-        sl = slice(wj * wch * c, (wj + 1) * wch * c)
-        acc_ref[:, sl] = acc_ref[:, sl] + upd
+    for r in range(rb):
+        wxr = wxt_ref[0, r, pl.ds(wj * wch, wch)]              # (wch, p)
+        for q in range(p):
+            # x-interp backward: (wch, p_x) @ (p_x, C)
+            d = jnp.dot(wxr, g_ref[0, r * p + q].reshape(p, c),
+                        preferred_element_type=jnp.float32)
+            d_ref[r * p + q] = d.reshape(wch * c).astype(d_ref.dtype)
+    upd = jax.lax.dot_general(
+        wyt_ref[0], d_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (H, wch*C)
+    acc_ref[:, :] = acc_ref[:, :] + upd
 
     @pl.when(i == nblk - 1)
     def _():
@@ -271,22 +286,23 @@ def _bwd_pallas(wy, wx, g, interpret=False):
     rb, nw = _bwd_plan(r, p, h, w, c)
     if rb == 0:
         return _bwd_einsum(wy, wx, g)
+    wch = w // nw
     wyt = wy.reshape(n, r * p, h)                         # (n, R*p, H)
     wxt = wx.transpose(0, 1, 3, 2)                        # (n, R, W, p)
     gflat = g.astype(wy.dtype).reshape(n, r * p, p * c)
     out = pl.pallas_call(
         partial(_bwd_kernel, p=p, nw=nw),
-        grid=(n, r // rb),
+        grid=(n, nw, r // rb),
         in_specs=[
-            pl.BlockSpec((1, rb * p, h), lambda ni, i: (ni, i, 0)),
-            pl.BlockSpec((1, rb, w, p), lambda ni, i: (ni, i, 0, 0)),
-            pl.BlockSpec((1, rb * p, p * c), lambda ni, i: (ni, i, 0)),
+            pl.BlockSpec((1, rb * p, h), lambda ni, wj, i: (ni, i, 0)),
+            pl.BlockSpec((1, rb, w, p), lambda ni, wj, i: (ni, i, 0, 0)),
+            pl.BlockSpec((1, rb * p, p * c), lambda ni, wj, i: (ni, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, w * c), lambda ni, i: (ni, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, wch * c), lambda ni, wj, i: (ni, 0, wj)),
         out_shape=jax.ShapeDtypeStruct((n, h, w * c), wy.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, w * c), jnp.float32),
-            pltpu.VMEM((rb * p, (w // nw) * c), wy.dtype),
+            pltpu.VMEM((h, wch * c), jnp.float32),
+            pltpu.VMEM((rb * p, wch * c), wy.dtype),
         ],
         interpret=interpret,
     )(wyt, wxt, gflat)

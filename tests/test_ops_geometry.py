@@ -329,11 +329,16 @@ class TestROIAlignPallas:
             for r in (512, 2000):                     # student budget / teacher keep
                 rb, nw = rap._bwd_plan(r, 7, h, w, 512)
                 assert rb > 0, f"einsum no-op at production shape {(r, h, w)}"
-                acc = h * w * 512 * 4
-                d_tmp = rb * 7 * (w // nw) * 512 * 2
+                # per-chunk budget model (w-chunk lives in the grid): acc +
+                # upd dot-output (both f32) + double-buffered out + d_tmp +
+                # g block must clear the ~16 MB core budget with headroom
+                wch = w // nw
+                acc = h * wch * 512 * 4
+                upd = h * wch * 512 * 4
+                outblk = 2 * h * wch * 512 * 2
+                d_tmp = rb * 7 * wch * 512 * 2
                 gblk = 2 * rb * 7 * 7 * 512 * 2
-                outblk = 2 * h * w * 512 * 2
-                assert acc + d_tmp + gblk + outblk < 15.5 * 1024 * 1024
+                assert acc + upd + outblk + d_tmp + gblk < 14 * 1024 * 1024
 
     def test_fused_backward_blocks_tile_legally(self):
         """Regression (round 5, on-chip): Mosaic requires each block's minor
@@ -358,12 +363,13 @@ class TestROIAlignPallas:
             for r in (512, 2000):
                 rb, nw = rap._bwd_plan(r, p, h, w, c)
                 assert rb > 0
+                wch = w // nw
                 # (block shape, full array shape) as _bwd_pallas constructs them
                 specs = [
                     ((1, rb * p, h), (1, r * p, h)),        # wyt (ROI-major)
-                    ((1, rb, w, p), (1, r, w, p)),          # wxt
+                    ((1, rb, w, p), (1, r, w, p)),          # wxt (full-w block)
                     ((1, rb * p, p * c), (1, r * p, p * c)),  # g
-                    ((1, h, w * c), (1, h, w * c)),         # out
+                    ((1, h, wch * c), (1, h, w * c)),       # out (per w-chunk)
                 ]
                 for block, full in specs:
                     assert legal(block, full), (block, full, (h, w, r))
