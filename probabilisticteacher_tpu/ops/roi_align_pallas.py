@@ -207,9 +207,8 @@ def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
     h-contraction's K = rb*p drives MXU occupancy)."""
     budget = float(_os.environ.get("PT_ROIALIGN_BWD_VMEM_MB", "13"))
     for nw in (1, 2, 4):
-        if w % nw:
-            continue
-        wch = w // nw
+        wch = -(-w // nw)
+        wch += (-wch) % 8            # chunks are padded to sublane alignment
         acc = h * wch * c * 4
         upd = h * wch * c * 4                  # the dot-output temporary
         outblk = 2 * h * wch * c * 2
@@ -227,56 +226,72 @@ def _bwd_plan(r: int, p: int, h: int, w: int, c: int):
 
 
 def _bwd_kernel(wyt_ref, wxt_ref, g_ref, out_ref, acc_ref, d_ref,
-                *, p: int, nw: int):
-    """wyt (1, RB*p, H), wxt (1, RB, W, p), g (1, RB*p, p*C) -> out
-    (1, H, wch*C), on grid (N, nw, R // RB) — ROI blocks innermost.
+                *, p: int, interpret: bool = False):
+    """wyt (1, RB*p, H), wxt (1, RB, wch, p), g (1, RB*p, p, C) -> out
+    (1, H, wch, C), on grid (N, nw, R // RB) — ROI blocks innermost.
 
-    Per grid step (one ROI block, one w-chunk): d_tmp[(r, q), (wch, c)] =
-    wxt_r[w-chunk] @ g[r, q] (the x-interp backward, one small dot per
-    (r, q)), then acc[h, (wch, c)] += wyt_block.T @ d_tmp — one MXU dot with
-    K = RB*p (contraction on axis 0 of both; Mosaic fuses the transpose into
-    the matmul). wyt is laid out ROI-major like the forward's wy so its
-    block (1, RB*p, H) tiles legally: RB*p is 8-divisible by plan
-    construction and H spans the full minor dim.
+    Per grid step (one ROI block, one w-chunk): d3[wch, (r, q), c] =
+    wxt_r[w-chunk] @ g[r, q] (the x-interp backward, one small 2-D dot per
+    (r, q)), then acc[h, wch, c] += wyt_block ·_K d3 — one rank-3
+    dot_general contracting K = RB*p (lhs dim 0, rhs dim 1). The final ROI
+    block writes acc out in the feature dtype, directly in (N, H, W, C)
+    layout.
+
+    EVERY intermediate keeps its rank: the current compile helper's libtpu
+    rejects rank-changing vector reshapes ("infer-vector-layout: unsupported
+    shape cast" — see DESIGN.md round 5), which killed the earlier
+    d.reshape(wch*c) row-packing and g_row.reshape(p, c) unpacking. Hence g
+    arrives as a 4-D block (rows index (r, q), last two dims (p_x, C) span
+    their full extents) and d_tmp is 3-D scratch written with 2-D values at
+    an integer (r, q) index. C stays in the 128-lane minor dim of every
+    w-sized buffer (acc, upd, d3, out) — an (..., H)-minor layout pads H=38
+    to 128 lanes and triples their VMEM. The out block's tiled minor pair is
+    (wch, C): wch is 8-aligned by construction, C is lane-divisible. All
+    constructs are individually lowering-verified on-chip (accumulator
+    scratch, integer-indexed 3-D scratch writes, rank-3 dot_general both
+    orderings); a traced-start pl.ds slice is NOT (it crashes the helper),
+    which is why the w-chunk is a blocked grid dim rather than an in-kernel
+    dynamic slice.
 
     The w-chunk index is a GRID dim (not an in-kernel loop) so the f32
     accumulator, the f32 dot output, d_tmp, and the out block are all
     wch-sized — the full-w variant overflowed the ~16 MB VMEM core budget at
-    production shapes and crashed the compiler. wxt stays full-w per block
-    (it is KB-sized) and the chunk is dynamic-sliced from it, keeping its
-    block spec legal (w spans the full dim). acc lives in f32 scratch across
-    the ROI-block grid dim; the final ROI block writes it out in the feature
-    dtype. No HBM intermediate (the XLA einsum fallback materializes a
-    multi-GB (N, R, x, H, C) tensor).
+    production shapes. wxt stays full-w per block (it is KB-sized) and the
+    chunk is dynamic-sliced from it. No HBM intermediate (the XLA einsum
+    fallback materializes a multi-GB (N, R, x, H, C) tensor).
     """
-    wj = pl.program_id(1)
     i = pl.program_id(2)
     nblk = pl.num_programs(2)
     rb = wxt_ref.shape[1]
-    w = wxt_ref.shape[2]
-    c = g_ref.shape[2] // p
-    wch = w // nw
 
     @pl.when(i == 0)
     def _():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
 
     for r in range(rb):
-        wxr = wxt_ref[0, r, pl.ds(wj * wch, wch)]              # (wch, p)
+        # the wxt BLOCK is already this grid step's w-chunk (the w axis is
+        # blocked over nw 8-aligned chunks) — a static read; a traced-start
+        # pl.ds slice here crashes the current compile helper's Mosaic
+        wxr = wxt_ref[0, r]                                    # (wch, p)
         for q in range(p):
             # x-interp backward: (wch, p_x) @ (p_x, C)
-            d = jnp.dot(wxr, g_ref[0, r * p + q].reshape(p, c),
+            d = jnp.dot(wxr, g_ref[0, r * p + q],
                         preferred_element_type=jnp.float32)
-            d_ref[r * p + q] = d.reshape(wch * c).astype(d_ref.dtype)
+            d_ref[:, r * p + q, :] = d.astype(d_ref.dtype)
+    lhs, rhs = wyt_ref[0], d_ref[:, :, :]
+    if interpret:
+        # CPU interpret only: XLA's CPU dot thunk can't execute
+        # bf16 x bf16 -> f32 rank-3 dots; the TPU MXU does it natively
+        lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
     upd = jax.lax.dot_general(
-        wyt_ref[0], d_ref[:, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                     # (H, wch*C)
-    acc_ref[:, :] = acc_ref[:, :] + upd
+        lhs, rhs,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (H, wch, C)
+    acc_ref[:, :, :] = acc_ref[:, :, :] + upd
 
     @pl.when(i == nblk - 1)
     def _():
-        out_ref[0] = acc_ref[:, :].astype(out_ref.dtype)
+        out_ref[0] = acc_ref[:, :, :].astype(out_ref.dtype)
 
 
 def _bwd_pallas(wy, wx, g, interpret=False):
@@ -286,27 +301,36 @@ def _bwd_pallas(wy, wx, g, interpret=False):
     rb, nw = _bwd_plan(r, p, h, w, c)
     if rb == 0:
         return _bwd_einsum(wy, wx, g)
-    wch = w // nw
+    # 8-aligned w-chunks: the wxt/out w axis is BLOCKED over the chunk grid
+    # dim, so the chunk read is static (no traced-start slicing, which the
+    # current compile helper's Mosaic crashes on). Pad w up so each chunk is
+    # sublane-aligned; padded wx columns are zero, so their x-interp
+    # contribution is zero and the padded out columns are dropped below.
+    wch = -(-w // nw)
+    wch += (-wch) % 8
+    w_pad = nw * wch
     wyt = wy.reshape(n, r * p, h)                         # (n, R*p, H)
     wxt = wx.transpose(0, 1, 3, 2)                        # (n, R, W, p)
-    gflat = g.astype(wy.dtype).reshape(n, r * p, p * c)
+    if w_pad != w:
+        wxt = jnp.pad(wxt, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+    g4 = g.astype(wy.dtype).reshape(n, r * p, p, c)
     out = pl.pallas_call(
-        partial(_bwd_kernel, p=p, nw=nw),
+        partial(_bwd_kernel, p=p, interpret=interpret),
         grid=(n, nw, r // rb),
         in_specs=[
             pl.BlockSpec((1, rb * p, h), lambda ni, wj, i: (ni, i, 0)),
-            pl.BlockSpec((1, rb, w, p), lambda ni, wj, i: (ni, i, 0, 0)),
-            pl.BlockSpec((1, rb * p, p * c), lambda ni, wj, i: (ni, i, 0)),
+            pl.BlockSpec((1, rb, wch, p), lambda ni, wj, i: (ni, i, wj, 0)),
+            pl.BlockSpec((1, rb * p, p, c), lambda ni, wj, i: (ni, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, wch * c), lambda ni, wj, i: (ni, 0, wj)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w * c), wy.dtype),
+        out_specs=pl.BlockSpec((1, h, wch, c), lambda ni, wj, i: (ni, 0, wj, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_pad, c), wy.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, wch * c), jnp.float32),
-            pltpu.VMEM((rb * p, wch * c), wy.dtype),
+            pltpu.VMEM((h, wch, c), jnp.float32),
+            pltpu.VMEM((wch, rb * p, c), wy.dtype),
         ],
         interpret=interpret,
-    )(wyt, wxt, gflat)
-    return out.reshape(n, h, w, c)
+    )(wyt, wxt, g4)
+    return out[:, :, :w]                                  # (n, H, W, C)
 
 
 # The fused backward is numerically equivalent but NOT bit-identical to the

@@ -363,13 +363,15 @@ class TestROIAlignPallas:
             for r in (512, 2000):
                 rb, nw = rap._bwd_plan(r, p, h, w, c)
                 assert rb > 0
-                wch = w // nw
+                wch = -(-w // nw)
+                wch += (-wch) % 8
+                w_pad = nw * wch
                 # (block shape, full array shape) as _bwd_pallas constructs them
                 specs = [
                     ((1, rb * p, h), (1, r * p, h)),        # wyt (ROI-major)
-                    ((1, rb, w, p), (1, r, w, p)),          # wxt (full-w block)
-                    ((1, rb * p, p * c), (1, r * p, p * c)),  # g
-                    ((1, h, wch * c), (1, h, w * c)),       # out (per w-chunk)
+                    ((1, rb, wch, p), (1, r, w_pad, p)),    # wxt (w-chunk blocks)
+                    ((1, rb * p, p, c), (1, r * p, p, c)),  # g (4-D, no reshape)
+                    ((1, h, wch, c), (1, h, w_pad, c)),     # out ((wch, C) minor)
                 ]
                 for block, full in specs:
                     assert legal(block, full), (block, full, (h, w, r))
